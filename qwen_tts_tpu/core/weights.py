@@ -1,0 +1,293 @@
+"""Weight pytrees for Qwen3-TTS on TPU.
+
+TPU-native redesign of the reference's raw-device-pointer weight packing
+(reference: qwen_megakernel/model_tts.py:56-193). Instead of a blob of 11
+pointers per layer, weights are JAX pytrees with the per-layer tensors
+*stacked on a leading layer axis* so that `lax.scan` can loop over layers and
+Pallas BlockSpec index maps can stream one layer's slab from HBM per grid
+step. Projection matrices are stored transposed relative to torch
+(`[in_features, out_features]`) so the hot path is a plain `x @ W`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (
+    DecoderConfig,
+    TTSModelConfig,
+    TextProjectionConfig,
+    NUM_CODE_GROUPS,
+)
+
+
+class LayerWeights(NamedTuple):
+    """Per-layer decoder weights, stacked on a leading `[num_layers, ...]` axis.
+
+    Mirrors the 11 tensors of the reference `LDGLayerWeights` struct
+    (reference: csrc/kernel.cu:78-90), transposed for `x @ W`.
+    """
+
+    input_norm: jax.Array   # [L, H]
+    wq: jax.Array           # [L, H, Q]
+    wk: jax.Array           # [L, H, KV]
+    wv: jax.Array           # [L, H, KV]
+    q_norm: jax.Array       # [L, D]
+    k_norm: jax.Array       # [L, D]
+    wo: jax.Array           # [L, Q, H]
+    post_norm: jax.Array    # [L, H]
+    w_gate: jax.Array       # [L, H, I]
+    w_up: jax.Array         # [L, H, I]
+    w_down: jax.Array       # [L, I, H]
+
+
+class RopeTable(NamedTuple):
+    """Precomputed RoPE tables, f32 `[max_seq, head_dim//2]`.
+
+    The reference stores bf16 `[max_seq, head_dim]` duplicated halves
+    (reference: model_tts.py:89-96); we keep the non-duplicated f32 half for
+    precision and recombine in the kernel.
+    """
+
+    cos: jax.Array
+    sin: jax.Array
+
+
+class DecoderWeights(NamedTuple):
+    """Everything one decoder (talker or code predictor) needs per step."""
+
+    layers: LayerWeights
+    final_norm: jax.Array   # [H]
+    embed: jax.Array        # [V, H] codec embedding (zeros for CP)
+    lm_head: jax.Array      # [H, V] untied codec head (zeros for CP)
+    rope: RopeTable
+
+
+class CodePredictorWeights(NamedTuple):
+    """5-layer code predictor plus its 15 per-group heads/embeddings
+    (reference: model_tts.py:129-146)."""
+
+    decoder: DecoderWeights
+    lm_heads: jax.Array       # [15, H, 2048]
+    codec_embeds: jax.Array   # [15, 2048, H]
+
+
+class TextProjectionWeights(NamedTuple):
+    """Text embedding + 2-layer SiLU projection (reference: model_tts.py:122-126)."""
+
+    text_embedding: jax.Array  # [151936, 2048]
+    fc1_w: jax.Array           # [2048, 2048] (transposed: in, out)
+    fc1_b: jax.Array           # [2048]
+    fc2_w: jax.Array           # [2048, 1024]
+    fc2_b: jax.Array           # [1024]
+
+
+class TTSWeights(NamedTuple):
+    talker: DecoderWeights
+    code_predictor: CodePredictorWeights
+    text_projection: TextProjectionWeights
+
+
+# ── RoPE tables ──────────────────────────────────────────────────────────────
+
+
+def make_rope_table(cfg: DecoderConfig) -> RopeTable:
+    """f32 cos/sin tables `[max_seq, head_dim//2]` (reference: model_tts.py:89-96)."""
+    d = cfg.head_dim
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (np.arange(0, d, 2, dtype=np.float32) / d)
+    )
+    positions = np.arange(cfg.max_seq_len, dtype=np.float32)
+    freqs = np.outer(positions, inv_freq)  # [S, d/2]
+    return RopeTable(
+        cos=jnp.asarray(np.cos(freqs), dtype=jnp.float32),
+        sin=jnp.asarray(np.sin(freqs), dtype=jnp.float32),
+    )
+
+
+# ── Random initialisation (tests / benchmarks without checkpoint access) ────
+
+
+def init_decoder_weights(
+    key: jax.Array,
+    cfg: DecoderConfig,
+    dtype=jnp.bfloat16,
+    with_heads: bool = True,
+) -> DecoderWeights:
+    """Random decoder weights with roughly realistic scales."""
+    h, q, kv, i, d = cfg.hidden_size, cfg.q_size, cfg.kv_size, cfg.intermediate_size, cfg.head_dim
+    L, v = cfg.num_layers, cfg.vocab_size
+    ks = jax.random.split(key, 10)
+
+    def mat(k, shape, fan_in):
+        return (jax.random.normal(k, shape, dtype=jnp.float32) / np.sqrt(fan_in)).astype(dtype)
+
+    layers = LayerWeights(
+        input_norm=jnp.ones((L, h), dtype=dtype),
+        wq=mat(ks[0], (L, h, q), h),
+        wk=mat(ks[1], (L, h, kv), h),
+        wv=mat(ks[2], (L, h, kv), h),
+        q_norm=jnp.ones((L, d), dtype=dtype),
+        k_norm=jnp.ones((L, d), dtype=dtype),
+        wo=mat(ks[3], (L, q, h), q),
+        post_norm=jnp.ones((L, h), dtype=dtype),
+        w_gate=mat(ks[4], (L, h, i), h),
+        w_up=mat(ks[5], (L, h, i), h),
+        w_down=mat(ks[6], (L, i, h), i),
+    )
+    if with_heads:
+        embed = mat(ks[7], (v, h), h)
+        lm_head = mat(ks[8], (h, v), h)
+    else:
+        embed = jnp.zeros((v, h), dtype=dtype)
+        lm_head = jnp.zeros((h, v), dtype=dtype)
+    return DecoderWeights(
+        layers=layers,
+        final_norm=jnp.ones((h,), dtype=dtype),
+        embed=embed,
+        lm_head=lm_head,
+        rope=make_rope_table(cfg),
+    )
+
+
+def init_tts_weights(key: jax.Array, cfg: TTSModelConfig, dtype=jnp.bfloat16) -> TTSWeights:
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    talker = init_decoder_weights(k1, cfg.talker, dtype=dtype)
+    cp_dec = init_decoder_weights(k2, cfg.code_predictor, dtype=dtype, with_heads=False)
+    h = cfg.code_predictor.hidden_size
+    cpv = cfg.code_predictor.vocab_size
+    ng = cfg.num_code_groups - 1
+    cp = CodePredictorWeights(
+        decoder=cp_dec,
+        lm_heads=(jax.random.normal(k3, (ng, h, cpv), dtype=jnp.float32) / np.sqrt(h)).astype(dtype),
+        codec_embeds=(jax.random.normal(k4, (ng, cpv, h), dtype=jnp.float32) / np.sqrt(h)).astype(dtype),
+    )
+    tp_cfg = cfg.text_projection
+    kt1, kt2, kt3 = jax.random.split(k5, 3)
+    tp = TextProjectionWeights(
+        text_embedding=(jax.random.normal(kt1, (tp_cfg.text_vocab_size, tp_cfg.text_hidden_size), dtype=jnp.float32)
+                        * 0.02).astype(dtype),
+        fc1_w=(jax.random.normal(kt2, (tp_cfg.text_hidden_size, tp_cfg.text_hidden_size), dtype=jnp.float32)
+               / np.sqrt(tp_cfg.text_hidden_size)).astype(dtype),
+        fc1_b=jnp.zeros((tp_cfg.text_hidden_size,), dtype=dtype),
+        fc2_w=(jax.random.normal(kt3, (tp_cfg.text_hidden_size, tp_cfg.hidden_size), dtype=jnp.float32)
+               / np.sqrt(tp_cfg.text_hidden_size)).astype(dtype),
+        fc2_b=jnp.zeros((tp_cfg.hidden_size,), dtype=dtype),
+    )
+    return TTSWeights(talker=talker, code_predictor=cp, text_projection=tp)
+
+
+# ── Checkpoint loading (safetensors → pytree) ────────────────────────────────
+
+_LAYER_KEYS = (
+    ("input_norm", "input_layernorm.weight", False),
+    ("wq", "self_attn.q_proj.weight", True),
+    ("wk", "self_attn.k_proj.weight", True),
+    ("wv", "self_attn.v_proj.weight", True),
+    ("q_norm", "self_attn.q_norm.weight", False),
+    ("k_norm", "self_attn.k_norm.weight", False),
+    ("wo", "self_attn.o_proj.weight", True),
+    ("post_norm", "post_attention_layernorm.weight", False),
+    ("w_gate", "mlp.gate_proj.weight", True),
+    ("w_up", "mlp.up_proj.weight", True),
+    ("w_down", "mlp.down_proj.weight", True),
+)
+
+
+def _stack_layers(state: dict[str, np.ndarray], prefix: str, num_layers: int,
+                  dtype) -> LayerWeights:
+    """Stack per-layer torch-layout tensors into `[L, ...]`, transposing matrices."""
+    out: dict[str, jax.Array] = {}
+    for field, suffix, transpose in _LAYER_KEYS:
+        per_layer = []
+        for i in range(num_layers):
+            t = state[f"{prefix}{i}.{suffix}"]
+            per_layer.append(t.T if transpose else t)
+        out[field] = jnp.asarray(np.stack(per_layer), dtype=dtype)
+    return LayerWeights(**out)
+
+
+def _np_state(path: str) -> dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    state: dict[str, np.ndarray] = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            state[k] = f.get_tensor(k)
+    return state
+
+
+def load_tts_weights(model_path: str, cfg: TTSModelConfig | None = None,
+                     dtype=jnp.bfloat16, verbose: bool = True) -> TTSWeights:
+    """Load Qwen3-TTS weights from a local safetensors checkpoint.
+
+    Name mapping mirrors the reference loader (reference: model_tts.py:56-179):
+    talker layers under `talker.model.layers.*`, untied `talker.codec_head`,
+    code predictor under `talker.code_predictor.*`, text projection under
+    `talker.text_projection.*`.
+    """
+    cfg = cfg or TTSModelConfig()
+    if os.path.isdir(model_path):
+        st_path = os.path.join(model_path, "model.safetensors")
+    else:
+        from huggingface_hub import hf_hub_download
+
+        st_path = hf_hub_download(model_path, "model.safetensors")
+    if verbose:
+        print(f"Loading TTS weights from {st_path}...")
+    state = _np_state(st_path)
+
+    tcfg = cfg.talker
+    talker_layers = _stack_layers(state, "talker.model.layers.", tcfg.num_layers, dtype)
+    talker = DecoderWeights(
+        layers=talker_layers,
+        final_norm=jnp.asarray(state["talker.model.norm.weight"], dtype=dtype),
+        embed=jnp.asarray(state["talker.model.codec_embedding.weight"], dtype=dtype),
+        lm_head=jnp.asarray(state["talker.codec_head.weight"].T, dtype=dtype),
+        rope=make_rope_table(tcfg),
+    )
+
+    ccfg = cfg.code_predictor
+    cp_layers = _stack_layers(state, "talker.code_predictor.model.layers.", ccfg.num_layers, dtype)
+    h = ccfg.hidden_size
+    cp_dec = DecoderWeights(
+        layers=cp_layers,
+        final_norm=jnp.asarray(state["talker.code_predictor.model.norm.weight"], dtype=dtype),
+        embed=jnp.zeros((ccfg.vocab_size, h), dtype=dtype),
+        lm_head=jnp.zeros((h, ccfg.vocab_size), dtype=dtype),
+        rope=make_rope_table(ccfg),
+    )
+    ng = cfg.num_code_groups - 1
+    lm_heads = np.stack([
+        state[f"talker.code_predictor.lm_head.{g}.weight"].T for g in range(ng)
+    ])
+    codec_embeds = np.stack([
+        state[f"talker.code_predictor.model.codec_embedding.{g}.weight"] for g in range(ng)
+    ])
+    cp = CodePredictorWeights(
+        decoder=cp_dec,
+        lm_heads=jnp.asarray(lm_heads, dtype=dtype),
+        codec_embeds=jnp.asarray(codec_embeds, dtype=dtype),
+    )
+
+    tp = TextProjectionWeights(
+        text_embedding=jnp.asarray(state["talker.model.text_embedding.weight"], dtype=dtype),
+        fc1_w=jnp.asarray(state["talker.text_projection.linear_fc1.weight"].T, dtype=dtype),
+        fc1_b=jnp.asarray(state["talker.text_projection.linear_fc1.bias"], dtype=dtype),
+        fc2_w=jnp.asarray(state["talker.text_projection.linear_fc2.weight"].T, dtype=dtype),
+        fc2_b=jnp.asarray(state["talker.text_projection.linear_fc2.bias"], dtype=dtype),
+    )
+
+    if verbose:
+        n_params = sum(int(np.prod(v.shape)) for v in state.values()) / 1e6
+        print(f"Loaded {len(state)} tensors ({n_params:.1f}M params)")
+    return TTSWeights(talker=talker, code_predictor=cp, text_projection=tp)
+
+
+def num_params(tree: Any) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))

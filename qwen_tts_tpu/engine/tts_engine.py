@@ -1,0 +1,323 @@
+"""TTS engine: text → talker → code predictor → vocoder → streamed audio.
+
+TPU-native rebuild of the reference `MegakernelTTSEngine`
+(reference: tts_engine.py:56-357) with the same public surface —
+`initialize()`, `synthesize(text)`, async `synthesize_streaming(text)`,
+`get_metrics()` — but a TPU-first execution plan:
+
+- Prefill (8 conditioning positions) + the first CODEC_BOS decode run as ONE
+  batched causal forward + step, fused in a single jit dispatch
+  (reference does 9 sequential kernel launches, tts_engine.py:281-289).
+- Each audio frame is ONE jitted `frame_step` call (CP scan over 15 groups +
+  Σ-embedding next-input + next talker step), replacing the reference's ~33
+  Python-dispatched GPU calls per frame (tts_engine.py:301-335).
+- Sampling stays on device (jax.random); the only per-frame host readbacks
+  are the EOS scalar check and the frame's 16 codes for the vocoder buffer —
+  matching the reference's per-frame sync points.
+- Trailing-text embeddings are padded to 64-length buckets so jit signatures
+  stay static across utterances.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import AsyncGenerator, Generator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import (
+    CODEC_BOS,
+    CODEC_EOS,
+    CODEC_NOTHINK,
+    CODEC_PAD,
+    CODEC_THINK_BOS,
+    CODEC_THINK_EOS,
+    TTS_BOS,
+    TTS_EOS,
+    TTS_PAD,
+    TTSModelConfig,
+)
+from ..core.weights import TTSWeights, init_tts_weights, load_tts_weights
+from ..models.decoder import init_state
+from ..models.text_projection import embed_text_ids
+from ..runtime.frame_loop import frame_step, talker_prefill
+from ..vocoder.loader import load_vocoder
+from ..vocoder.model import (
+    VocoderConfig,
+    init_vocoder_weights,
+    vocoder_decode,
+)
+from .tokenizer import encode_tts_prompt, load_tokenizer
+
+
+@dataclass
+class TTSConfig:
+    """Engine configuration (reference: tts_engine.py:37-53)."""
+
+    model_path: Optional[str] = None      # None → random-init (hermetic mode)
+    vocoder_path: Optional[str] = None
+    sample_rate: int = 24000
+    chunk_frames: int = 10                # ~0.8 s per chunk at 12.5 Hz
+    # Generation params
+    do_sample: bool = True
+    temperature: float = 0.9
+    top_k: int = 50
+    repetition_penalty: float = 1.05      # reserved (reference never applies it)
+    max_new_tokens: int = 2048
+    # Code predictor params
+    subtalker_do_sample: bool = True
+    subtalker_temperature: float = 0.9
+    subtalker_top_k: int = 50
+    # Hermetic-mode knobs
+    seed: int = 0
+    max_seq_len: int = 8192               # talker KV-cache length
+    vocoder_mode: str = "auto"            # auto | random | silence
+    trailing_bucket: int = 64
+    backend: str = "auto"                 # auto | dense | pallas
+
+
+class TTSEngine:
+    """TPU TTS engine (reference surface: MegakernelTTSEngine)."""
+
+    def __init__(self, config: Optional[TTSConfig] = None,
+                 model_config: Optional[TTSModelConfig] = None):
+        self.config = config or TTSConfig()
+        import dataclasses as _dc
+
+        mc = model_config or TTSModelConfig()
+        if self.config.max_seq_len != mc.talker.max_seq_len:
+            mc = _dc.replace(
+                mc, talker=_dc.replace(mc.talker,
+                                       max_seq_len=self.config.max_seq_len))
+        self.model_config = mc
+        self._initialized = False
+        self.sample_rate = self.config.sample_rate
+
+    # ── initialization ───────────────────────────────────────────────────
+
+    def initialize(self, weights: Optional[TTSWeights] = None):
+        """Load weights, build jitted paths, precompute constant embeddings,
+        and warm up every compiled signature (reference: tts_engine.py:73-156)."""
+        if self._initialized:
+            return
+        cfg, mc = self.config, self.model_config
+
+        if weights is not None:
+            self.weights = weights
+        elif cfg.model_path:
+            self.weights = load_tts_weights(cfg.model_path, mc)
+        else:
+            self.weights = init_tts_weights(jax.random.PRNGKey(cfg.seed), mc)
+
+        self.tokenizer = load_tokenizer(cfg.model_path)
+        self._load_vocoder()
+
+        self._rng = jax.random.PRNGKey(cfg.seed)
+        self._talker_state = init_state(mc.talker)
+        self._frames_generated = 0
+        if cfg.backend == "auto":
+            self._attn_impl = (
+                "pallas" if jax.default_backend() not in ("cpu",) else "dense")
+        else:
+            self._attn_impl = "pallas" if cfg.backend == "pallas" else "dense"
+
+        # Precompute constant embeddings (reference: tts_engine.py:106-137)
+        tp_w = self.weights.text_projection
+        special = embed_text_ids(
+            tp_w, jnp.asarray([TTS_PAD, TTS_BOS, TTS_EOS], dtype=jnp.int32))
+        self._tts_pad_embed = special[0]
+        self._tts_eos_embed = special[2]
+
+        role_ids = encode_tts_prompt(self.tokenizer, "")[:3]
+        self._role_embeds = embed_text_ids(tp_w, jnp.asarray(role_ids))
+
+        codec_ids = jnp.asarray(
+            [CODEC_NOTHINK, CODEC_THINK_BOS, CODEC_THINK_EOS, CODEC_PAD, CODEC_BOS],
+            dtype=jnp.int32)
+        codec_embeds = self.weights.talker.embed[codec_ids].astype(jnp.bfloat16)
+        tts_prefix = jnp.concatenate(
+            [jnp.broadcast_to(special[0], (3, special.shape[1])), special[1:2]])
+        self._fused_tags = (tts_prefix + codec_embeds[:4]).astype(jnp.bfloat16)
+        self._codec_bos_embed = codec_embeds[4]
+
+        self._warmup()
+        self._initialized = True
+
+    def _load_vocoder(self):
+        cfg = self.config
+        self.vocoder_config = VocoderConfig(sample_rate=cfg.sample_rate)
+        self.vocoder_weights = None
+        mode = cfg.vocoder_mode
+        if mode in ("auto",) and cfg.vocoder_path:
+            self.vocoder_weights = load_vocoder(cfg.vocoder_path, self.vocoder_config)
+        if self.vocoder_weights is None and mode in ("auto", "random"):
+            self.vocoder_weights = init_vocoder_weights(
+                jax.random.PRNGKey(cfg.seed + 1), self.vocoder_config)
+            self._vocoder_is_random = True
+        else:
+            self._vocoder_is_random = False
+        self._vocoder_fn = jax.jit(partial(vocoder_decode, self.vocoder_config))
+        self.sample_rate = self.vocoder_config.sample_rate
+
+    def _warmup(self):
+        """Compile + warm every hot signature (the reference's hard-won
+        lesson: warm argmax AND sampling AND vocoder — tts_engine.py:139-153)."""
+        cfg, mc = self.config, self.model_config
+        h = mc.talker.hidden_size
+        state = init_state(mc.talker)
+        dummy_prefill = jnp.zeros((8, h), dtype=jnp.bfloat16)
+        state, token, hidden = talker_prefill(
+            mc.talker, self.weights.talker, state, dummy_prefill,
+            attn_impl=self._attn_impl)
+        trailing = jnp.zeros((cfg.trailing_bucket, h), dtype=jnp.bfloat16)
+        for do_sample in (False, True):
+            r = frame_step(
+                mc.talker, mc.code_predictor,
+                self.weights.talker, self.weights.code_predictor,
+                state, token, hidden,
+                trailing, jnp.int32(0), jnp.int32(0),
+                self._tts_pad_embed, jax.random.PRNGKey(0),
+                do_sample=do_sample,
+                temperature=cfg.subtalker_temperature,
+                top_k=cfg.subtalker_top_k,
+                attn_impl=self._attn_impl,
+            )
+            state = r.state
+        jax.block_until_ready(r.codes)
+        if self.vocoder_weights is not None:
+            for n in (1, cfg.chunk_frames):
+                dummy = jnp.zeros((n, mc.num_code_groups), dtype=jnp.int32)
+                jax.block_until_ready(self._vocoder_fn(self.vocoder_weights, dummy))
+        # fresh state for real use
+        self._talker_state = init_state(mc.talker)
+
+    # ── synthesis ────────────────────────────────────────────────────────
+
+    def synthesize(self, text: str) -> tuple[np.ndarray, int]:
+        """Non-streaming synthesis → (waveform f32, sample_rate)
+        (reference: tts_engine.py:211-218)."""
+        self.initialize()
+        frames = list(self._generate_codec_frames(text))
+        if not frames:
+            return np.array([], dtype=np.float32), self.sample_rate
+        return self._decode_to_audio(frames)
+
+    async def synthesize_streaming(
+        self, text: str, chunk_frames: Optional[int] = None,
+    ) -> AsyncGenerator[tuple[np.ndarray, int], None]:
+        """Streaming synthesis: first chunk after 1 frame, then
+        `chunk_frames`-frame chunks (reference: tts_engine.py:220-244)."""
+        self.initialize()
+        chunk_size = chunk_frames or self.config.chunk_frames
+        buffer: list[np.ndarray] = []
+        first_chunk = True
+        for frame in self._generate_codec_frames(text):
+            buffer.append(frame)
+            target = 1 if first_chunk else chunk_size
+            if len(buffer) >= target:
+                audio, sr = self._decode_to_audio(buffer)
+                buffer = []
+                first_chunk = False
+                yield audio, sr
+                await asyncio.sleep(0)
+        if buffer:
+            yield self._decode_to_audio(buffer)
+
+    # ── core generation loop ─────────────────────────────────────────────
+
+    def _build_prefill(self, text: str):
+        """Tokenize + build the 8-position conditioning prefix and padded
+        trailing-text embeddings (reference: tts_engine.py:256-278,
+        model_tts.py:776-864)."""
+        cfg = self.config
+        tp_w = self.weights.text_projection
+        text_ids = encode_tts_prompt(self.tokenizer, text)
+        content_ids = jnp.asarray(text_ids[3:], dtype=jnp.int32)
+        content_embeds = embed_text_ids(tp_w, content_ids)          # [N, H] bf16
+
+        first_text_with_bos = content_embeds[:1] + self._codec_bos_embed[None]
+        prefill_embeds = jnp.concatenate(
+            [self._role_embeds, self._fused_tags, first_text_with_bos])  # [8, H]
+
+        # Trailing: content[1:-5] + tts_eos, padded to a bucket
+        trailing = jnp.concatenate(
+            [content_embeds[1:-5], self._tts_eos_embed[None]])
+        t_len = trailing.shape[0]
+        bucket = cfg.trailing_bucket
+        padded_len = max(((t_len + bucket - 1) // bucket) * bucket, bucket)
+        trailing = jnp.pad(trailing, ((0, padded_len - t_len), (0, 0)))
+        return prefill_embeds, trailing, t_len
+
+    def _generate_codec_frames(self, text: str) -> Generator[np.ndarray, None, None]:
+        """Yield one [16] int32 frame at a time (reference: tts_engine.py:246-335)."""
+        cfg, mc = self.config, self.model_config
+        self._talker_state = init_state(mc.talker)
+
+        prefill_embeds, trailing, trailing_len = self._build_prefill(text)
+
+        state, prev_token, hidden = talker_prefill(
+            mc.talker, self.weights.talker, self._talker_state, prefill_embeds,
+            attn_impl=self._attn_impl)
+
+        # Frame cap: word-count heuristic since EOS is unreliable under the
+        # standard-RoPE approximation (reference: tts_engine.py:295-299,
+        # README.md:204-208 — a preserved limitation, not an oversight).
+        word_count = max(len(text.split()), 1)
+        max_frames = max(int(word_count / 2.5 * 12.5 * 2.0), 25)
+        max_frames = min(max_frames, cfg.max_new_tokens)
+
+        self._rng, loop_rng = jax.random.split(self._rng)
+        trailing_idx = 0
+        for step in range(max_frames):
+            if int(prev_token) == CODEC_EOS:
+                break
+            result = frame_step(
+                mc.talker, mc.code_predictor,
+                self.weights.talker, self.weights.code_predictor,
+                state, prev_token, hidden,
+                trailing, jnp.int32(trailing_len), jnp.int32(trailing_idx),
+                self._tts_pad_embed,
+                jax.random.fold_in(loop_rng, step),
+                do_sample=cfg.subtalker_do_sample,
+                temperature=cfg.subtalker_temperature,
+                top_k=cfg.subtalker_top_k,
+                attn_impl=self._attn_impl,
+            )
+            state = result.state
+            prev_token = result.next_token
+            hidden = result.next_hidden
+            trailing_idx += 1
+            self._frames_generated = step + 1
+            yield np.asarray(result.codes)
+
+        self._talker_state = state
+
+    # ── vocoder ──────────────────────────────────────────────────────────
+
+    def _decode_to_audio(self, frames: list[np.ndarray]) -> tuple[np.ndarray, int]:
+        """Codec frames → waveform (reference: tts_engine.py:337-350)."""
+        if not frames:
+            return np.array([], dtype=np.float32), self.sample_rate
+        codes = jnp.asarray(np.stack(frames), dtype=jnp.int32)
+        if self.vocoder_weights is not None:
+            wav = self._vocoder_fn(self.vocoder_weights, codes)
+            return np.asarray(wav, dtype=np.float32), self.sample_rate
+        duration_sec = len(frames) / self.model_config.frame_rate_hz
+        return (np.zeros(int(duration_sec * self.sample_rate), dtype=np.float32),
+                self.sample_rate)
+
+    def get_metrics(self) -> dict:
+        return {
+            "sample_rate": self.sample_rate,
+            "position": int(self._talker_state.position) if self._initialized else 0,
+            "frames_generated": getattr(self, "_frames_generated", 0),
+        }
+
+
+# Alias for reference-API familiarity
+MegakernelTTSEngine = TTSEngine

@@ -1,0 +1,285 @@
+"""Pure-JAX Qwen3 decoder — the correctness oracle and reference compute path.
+
+Functional re-design of the reference's stateful CUDA decode
+(reference: csrc/kernel.cu:1191-1432, validate_kernel.py:25-201): state (KV
+cache + position) is an explicit pytree threaded through jitted functions,
+the 28-layer loop is a `lax.scan` over layer-stacked weights, and multi-token
+prefill runs as one batched causal forward instead of 8 sequential steps
+(reference does 8 × step_with_embed, tts_engine.py:281-282 — on TPU a single
+seq-mode forward costs the same weight traffic as ONE decode step).
+
+Cache discipline (the TPU analog of the reference's in-place bf16 cache
+append, kernel.cu:433-458): inside the scan over layers the KV cache is
+READ-ONLY; each layer emits its new K/V columns as scan outputs, and a
+single `[L, KVH, T, D]` dynamic_update_slice lands them after the scan.
+This keeps XLA from materialising per-layer copies of the (up to ~1 GB)
+cache — attention reads the old prefix and merges the in-flight token as a
+virtual extra column, which is numerically identical.
+
+Numerics match the reference oracle (validate_kernel.py:91-201): f32
+residual stream, bf16 weights with f32 matmul accumulation, RMSNorm eps 1e-6
+in f32, per-head QK-RMSNorm, half-split RoPE, GQA 16Q/8KV online attention.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import DecoderConfig
+from ..core.weights import DecoderWeights, LayerWeights
+
+
+class DecodeState(NamedTuple):
+    """KV cache + position. Layout `[L, KVH, S, D]` (reference: model_tts.py:227-231)."""
+
+    k_cache: jax.Array   # [L, KVH, S, D] bf16
+    v_cache: jax.Array   # [L, KVH, S, D] bf16
+    position: jax.Array  # int32 scalar
+
+
+def init_state(cfg: DecoderConfig, dtype=jnp.bfloat16) -> DecodeState:
+    shape = (cfg.num_layers, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim)
+    return DecodeState(
+        k_cache=jnp.zeros(shape, dtype=dtype),
+        v_cache=jnp.zeros(shape, dtype=dtype),
+        position=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def reset_state(state: DecodeState) -> DecodeState:
+    """Per-utterance reset (reference: model_tts.py:332-336)."""
+    return DecodeState(
+        k_cache=jnp.zeros_like(state.k_cache),
+        v_cache=jnp.zeros_like(state.v_cache),
+        position=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """f32 RMSNorm (reference: validate_kernel.py:91-94, kernel.cu:224)."""
+    x = x.astype(jnp.float32)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Half-split RoPE (HF rotate_half; reference: validate_kernel.py:96-103).
+
+    x: [..., D]; cos/sin: broadcastable [..., D//2] f32.
+    """
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+def _matmul(x: jax.Array, w: jax.Array) -> jax.Array:
+    """bf16 × bf16 → f32 accumulation, matching the CUDA matvec accumulators."""
+    return jnp.dot(x.astype(w.dtype), w, preferred_element_type=jnp.float32)
+
+
+class LayerSlice(NamedTuple):
+    """One layer's weights (no leading L axis) — what scan feeds the body."""
+
+    input_norm: jax.Array
+    wq: jax.Array
+    wk: jax.Array
+    wv: jax.Array
+    q_norm: jax.Array
+    k_norm: jax.Array
+    wo: jax.Array
+    post_norm: jax.Array
+    w_gate: jax.Array
+    w_up: jax.Array
+    w_down: jax.Array
+
+
+def _dense_mixed_attention(
+    cfg: DecoderConfig,
+    q: jax.Array,            # [T, HQ, D] f32
+    k_chunk: jax.Array,      # [T, KVH, D] f32 — this chunk's keys (post-RoPE)
+    v_chunk: jax.Array,      # [T, KVH, D] f32
+    k_old: jax.Array,        # [KVH, S, D] bf16 — old cache entries (< start_pos)
+    v_old: jax.Array,
+    start_pos: jax.Array,    # int32
+) -> jax.Array:
+    """Attention over old cache + causal intra-chunk, without writing the
+    cache. Exactly equivalent to attending over the updated cache."""
+    T = q.shape[0]
+    h_q, h_kv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    g = cfg.gqa_groups
+    S = k_old.shape[1]
+    scale = 1.0 / (d ** 0.5)
+
+    qh = q.transpose(1, 0, 2).reshape(h_kv, g, T, d)            # [KVH, G, T, D]
+    kf = k_old.astype(jnp.float32)
+    vf = v_old.astype(jnp.float32)
+
+    s_old = jnp.einsum("hgtd,hsd->hgts", qh, kf) * scale        # [KVH,G,T,S]
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+    s_old = jnp.where((key_ids < start_pos)[None, None], s_old, -jnp.inf)
+
+    kc = k_chunk.transpose(1, 0, 2)                              # [KVH, T, D]
+    vc = v_chunk.transpose(1, 0, 2)
+    s_new = jnp.einsum("hgtd,hud->hgtu", qh, kc) * scale         # [KVH,G,T,T]
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    u_ids = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    s_new = jnp.where((u_ids <= t_ids)[None, None], s_new, -jnp.inf)
+
+    s_all = jnp.concatenate([s_old, s_new], axis=-1)             # [KVH,G,T,S+T]
+    probs = jax.nn.softmax(s_all, axis=-1)
+    p_old, p_new = probs[..., :S], probs[..., S:]
+    attn = (jnp.einsum("hgts,hsd->hgtd", p_old, vf)
+            + jnp.einsum("hgtu,hud->hgtd", p_new, vc))           # [KVH,G,T,D]
+    return attn.reshape(h_q, T, d).transpose(1, 0, 2).reshape(T, h_q * d)
+
+
+def _layer_forward(
+    cfg: DecoderConfig,
+    lw: LayerSlice,
+    x: jax.Array,            # [T, H] f32 residual stream
+    k_cache: jax.Array,      # [L, KVH, S, D] bf16 — read-only, old entries
+    v_cache: jax.Array,
+    layer_idx: jax.Array,    # int32
+    start_pos: jax.Array,    # int32 — first position of this chunk
+    cos: jax.Array,          # [T, D//2] f32
+    sin: jax.Array,
+    attn_impl: str = "dense",
+):
+    """One decoder layer over a T-token chunk (T=1 decode, T>1 prefill).
+
+    Returns (x_out [T,H] f32, k_new [KVH,T,D] bf16, v_new [KVH,T,D] bf16) —
+    the new cache columns are handed back for a post-scan bulk update.
+    """
+    T = x.shape[0]
+    h_q, h_kv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+
+    normed = rms_norm(x, lw.input_norm, cfg.rms_eps)
+    q = _matmul(normed, lw.wq).reshape(T, h_q, d)
+    k = _matmul(normed, lw.wk).reshape(T, h_kv, d)
+    v = _matmul(normed, lw.wv).reshape(T, h_kv, d)
+
+    # Per-head QK-RMSNorm then RoPE (reference: kernel.cu:364-400)
+    q = rms_norm(q, lw.q_norm, cfg.rms_eps)
+    k = rms_norm(k, lw.k_norm, cfg.rms_eps)
+    q = apply_rope(q, cos[:, None, :], sin[:, None, :])
+    k = apply_rope(k, cos[:, None, :], sin[:, None, :])
+
+    if attn_impl == "pallas" and T == 1:
+        from ..ops.attention import decode_attention
+
+        attn = decode_attention(
+            q[0], k[0], v[0], k_cache, v_cache, layer_idx, start_pos,
+        ).reshape(1, h_q * d)
+    else:
+        k_old = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0, False)
+        v_old = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, False)
+        attn = _dense_mixed_attention(cfg, q, k, v, k_old, v_old, start_pos)
+
+    x = x + _matmul(attn.astype(jnp.bfloat16), lw.wo)
+
+    normed2 = rms_norm(x, lw.post_norm, cfg.rms_eps)
+    gate = _matmul(normed2, lw.w_gate)
+    up = _matmul(normed2, lw.w_up)
+    mlp = jax.nn.silu(gate) * up                          # SwiGLU (kernel.cu:771-821)
+    x = x + _matmul(mlp.astype(jnp.bfloat16), lw.w_down)
+
+    k_new = k.astype(k_cache.dtype).transpose(1, 0, 2)    # [KVH, T, D]
+    v_new = v.astype(v_cache.dtype).transpose(1, 0, 2)
+    return x, k_new, v_new
+
+
+def forward_chunk(
+    cfg: DecoderConfig,
+    w: DecoderWeights,
+    state: DecodeState,
+    embeds: jax.Array,      # [T, H] — precomputed input embeddings (any float dtype)
+    attn_impl: str = "dense",
+) -> tuple[DecodeState, jax.Array]:
+    """Run a T-token chunk through all layers. Returns (state, normed [T,H] f32).
+
+    `normed` is the post-final-RMSNorm hidden state — the value the code
+    predictor consumes (reference: kernel.cu:1276-1314 `g_normalized`).
+    """
+    T = embeds.shape[0]
+    pos = state.position
+    cos = jax.lax.dynamic_slice_in_dim(w.rope.cos, pos, T, axis=0)  # [T, D//2]
+    sin = jax.lax.dynamic_slice_in_dim(w.rope.sin, pos, T, axis=0)
+    x = embeds.astype(jnp.float32)
+
+    L = cfg.num_layers
+    k_cache, v_cache = state.k_cache, state.v_cache
+
+    def body(x, layer):
+        lw = LayerSlice(*layer[:-1])
+        li = layer[-1]
+        x, k_new, v_new = _layer_forward(
+            cfg, lw, x, k_cache, v_cache, li, pos, cos, sin,
+            attn_impl=attn_impl)
+        return x, (k_new, v_new)
+
+    xs = tuple(getattr(w.layers, f) for f in LayerWeights._fields) + (
+        jnp.arange(L, dtype=jnp.int32),)
+    x, (k_cols, v_cols) = jax.lax.scan(body, x, xs)
+    # k_cols/v_cols: [L, KVH, T, D] — one small bulk cache write per chunk.
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k_cols, (0, 0, pos, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v_cols, (0, 0, pos, 0))
+
+    normed = rms_norm(x, w.final_norm, cfg.rms_eps)       # [T, H] f32
+    new_state = DecodeState(k_cache=k_cache, v_cache=v_cache,
+                            position=pos + jnp.int32(T))
+    return new_state, normed
+
+
+def lm_head_logits(w: DecoderWeights, normed: jax.Array) -> jax.Array:
+    """Codec LM head logits f32 (reference: kernel.cu:1022-1185)."""
+    return _matmul(normed.astype(jnp.bfloat16), w.lm_head)
+
+
+def decode_step_with_embed(
+    cfg: DecoderConfig,
+    w: DecoderWeights,
+    state: DecodeState,
+    embed: jax.Array,       # [H]
+    attn_impl: str = "dense",
+):
+    """One decode step from a precomputed embedding — the `step_with_embed`
+    sentinel path (reference: model_tts.py:287-330). Returns
+    (state, token int32, normed [H] f32)."""
+    state, normed = forward_chunk(cfg, w, state, embed[None, :], attn_impl=attn_impl)
+    logits = lm_head_logits(w, normed)            # [1, V]
+    token = jnp.argmax(logits[0]).astype(jnp.int32)
+    return state, token, normed[0]
+
+
+def decode_step(
+    cfg: DecoderConfig,
+    w: DecoderWeights,
+    state: DecodeState,
+    token_id: jax.Array,    # int32 scalar
+    attn_impl: str = "dense",
+):
+    """One decode step from a codec token id (reference: model_tts.py:254-285)."""
+    embed = w.embed[token_id]
+    return decode_step_with_embed(cfg, w, state, embed, attn_impl=attn_impl)
+
+
+def prefill(
+    cfg: DecoderConfig,
+    w: DecoderWeights,
+    state: DecodeState,
+    embeds: jax.Array,      # [T, H]
+    attn_impl: str = "dense",
+):
+    """Batched causal prefill of T precomputed embeddings.
+
+    TPU-first replacement for the reference's 8 sequential step_with_embed
+    calls (reference: tts_engine.py:281-282): one forward = one pass over the
+    weights instead of T. Returns (state, last_token int32, last_normed [H] f32).
+    """
+    state, normed = forward_chunk(cfg, w, state, embeds)
+    logits = lm_head_logits(w, normed[-1:])
+    token = jnp.argmax(logits[0]).astype(jnp.int32)
+    return state, token, normed[-1]

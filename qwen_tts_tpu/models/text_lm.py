@@ -1,0 +1,106 @@
+"""Original Qwen3-0.6B text language model on the same decoder core.
+
+JAX equivalent of the reference's original text-LM path
+(reference: qwen_megakernel/model.py:1-247): same 28-layer architecture as
+the TTS talker but with the 151936 text vocab, tied embeddings/LM head, and
+rope_theta 10000. One decoder implementation serves all three model
+families (text LM / talker / code predictor) — the TPU analog of the
+reference's runtime `num_layers` + compile-time `LDG_VOCAB_SIZE` tricks
+(reference: csrc/kernel.cu:1251, build.py:17-63 vs build_tts.py:22-43).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import DecoderConfig
+from ..core.weights import (
+    DecoderWeights,
+    _stack_layers,
+    make_rope_table,
+)
+
+TEXT_LM_CONFIG = DecoderConfig(
+    num_layers=28,
+    vocab_size=151936,
+    max_seq_len=2048,
+    rope_theta=10000.0,
+)
+
+
+def load_text_lm_weights(
+    model_path: str = "Qwen/Qwen3-0.6B",
+    cfg: DecoderConfig = TEXT_LM_CONFIG,
+    dtype=jnp.bfloat16,
+    verbose: bool = True,
+):
+    """Load Qwen3-0.6B from a local dir / HF hub (reference: model.py:23-96).
+
+    Returns (DecoderWeights, tokenizer-or-None). Embeddings are tied:
+    lm_head = embed.T (reference: model.py:92 `lm_head_weight=embed_weight`).
+    """
+    import os
+
+    if os.path.isdir(model_path):
+        st_path = os.path.join(model_path, "model.safetensors")
+    else:
+        from huggingface_hub import hf_hub_download
+
+        st_path = hf_hub_download(model_path, "model.safetensors")
+    if verbose:
+        print(f"Loading text LM from {st_path}...")
+
+    from safetensors import safe_open
+
+    state: dict[str, np.ndarray] = {}
+    with safe_open(st_path, framework="np") as f:
+        for k in f.keys():
+            state[k] = f.get_tensor(k)
+
+    layers = _stack_layers(state, "model.layers.", cfg.num_layers, dtype)
+    embed = jnp.asarray(state["model.embed_tokens.weight"], dtype=dtype)
+    w = DecoderWeights(
+        layers=layers,
+        final_norm=jnp.asarray(state["model.norm.weight"], dtype=dtype),
+        embed=embed,
+        lm_head=embed.T,   # tied
+        rope=make_rope_table(cfg),
+    )
+    tokenizer = None
+    try:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(model_path)
+    except Exception:
+        pass
+    return w, tokenizer
+
+
+class TextLM:
+    """Prompt-in, tokens-out text generation (reference: model.py:168-247)."""
+
+    def __init__(self, weights: DecoderWeights, cfg: DecoderConfig = TEXT_LM_CONFIG,
+                 tokenizer=None, attn_impl: str = "dense"):
+        self.cfg = cfg
+        self.w = weights
+        self.tokenizer = tokenizer
+        self.attn_impl = attn_impl
+
+    def generate(self, prompt_ids, max_new_tokens: int = 64) -> list[int]:
+        """Greedy generation: batched prefill of the prompt, then a fused
+        `lax.scan` decode (the generate_nosync equivalent,
+        reference: model.py:209-247, kernel.cu:1555-1613)."""
+        from ..models.decoder import init_state, prefill
+        from ..runtime.generate import generate_tokens
+
+        ids = jnp.asarray(np.asarray(prompt_ids), dtype=jnp.int32)
+        embeds = self.w.embed[ids]
+        state = init_state(self.cfg)
+        state, first, _ = prefill(self.cfg, self.w, state, embeds,
+                                  attn_impl=self.attn_impl)
+        state, tokens = generate_tokens(
+            self.cfg, self.w, state, first, max_new_tokens - 1,
+            attn_impl=self.attn_impl)
+        return [int(first)] + [int(t) for t in np.asarray(tokens)]

@@ -1,0 +1,335 @@
+"""The Pallas megakernel: one fused decode step, grid over layers.
+
+TPU-native equivalent of the reference's single persistent CUDA kernel per
+token (reference: csrc/kernel.cu:1191-1432) — everything from the input
+embedding through 28 transformer layers (RMSNorm → QKV → QK-norm+RoPE →
+KV-cache attention → O-proj+residual → post-norm → SwiGLU → residual), the
+final RMSNorm and the codec LM head runs in ONE `pallas_call`.
+
+Where the CUDA kernel needed hand-rolled grid barriers, L1-bypass loads and
+L2 prefetch choreography (kernel.cu:96-164, 301-316), the TPU form exploits
+the sequential Pallas grid: `grid=(num_layers,)` with layer-indexed
+BlockSpecs makes the pipeline hardware prefetch layer l+1's ~30 MB weight
+slab into VMEM while layer l computes (v5e has ~120 MB usable VMEM — two
+slabs fit comfortably). The residual stream lives in a VMEM scratch that
+persists across grid steps; the KV cache stays in HBM and is read via the
+chunked online-softmax loop of ops/attention.py, with the current token
+merged as a virtual column so the cache is never written in-kernel (the new
+K/V columns are emitted per layer and landed with one tiny XLA-side update).
+
+The same kernel body serves the 28-layer talker and the 5-layer code
+predictor as two jit specialisations — the TPU analog of the reference's
+runtime `num_layers` argument (kernel.cu:1251).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import DecoderConfig
+from ..core.weights import DecoderWeights
+from ..models.decoder import DecodeState
+
+
+def _megakernel(
+    # scalars
+    pos_ref,          # SMEM [1] int32 — #old cache entries
+    # per-layer streamed weights (block = one layer's slab)
+    in_norm_ref,      # [1, H]
+    wq_ref,           # [1, H, Q]
+    wk_ref,           # [1, H, KV]
+    wv_ref,           # [1, H, KV]
+    q_norm_ref,       # [1, D]
+    k_norm_ref,       # [1, D]
+    wo_ref,           # [1, Q, H]
+    post_norm_ref,    # [1, H]
+    w_gate_ref,       # [1, H, I]
+    w_up_ref,         # [1, H, I]
+    w_down_ref,       # [1, I, H]
+    # constants (fetched once)
+    final_norm_ref,   # [1, H]
+    lm_head_ref,      # [H, V]
+    embed_ref,        # [1, H] f32 — input embedding
+    cos_ref,          # [1, D//2] f32
+    sin_ref,          # [1, D//2] f32
+    # HBM cache (read-only)
+    k_hbm,            # ANY [L, KVH, S, D] bf16
+    v_hbm,            # ANY [L, KVH, S, D] bf16
+    # outputs
+    k_new_ref,        # [1, KVH, 1, D] bf16 (per-layer block)
+    v_new_ref,        # [1, KVH, 1, D] bf16
+    normed_ref,       # [1, H] f32 (final hidden, written on last step)
+    logits_ref,       # [1, V] f32 (written on last step)
+    # scratch
+    x_ref,            # VMEM [1, H] f32 — residual stream, persists across grid
+    k_buf,            # VMEM [2, KVH, C, D] bf16
+    v_buf,            # VMEM [2, KVH, C, D] bf16
+    sems,             # DMA (2, 2)
+    *,
+    cfg: DecoderConfig,
+    chunk: int,
+):
+    li = pl.program_id(0)
+    L = pl.num_programs(0)
+    H, Q, KV = cfg.hidden_size, cfg.q_size, cfg.kv_size
+    KVH, HQ, D, G = cfg.num_kv_heads, cfg.num_q_heads, cfg.head_dim, cfg.gqa_groups
+    C = chunk
+    eps = cfg.rms_eps
+    scale = 1.0 / (D ** 0.5)
+
+    @pl.when(li == 0)
+    def _():
+        x_ref[:] = embed_ref[:]
+
+    def rms(v, w_row):
+        var = jnp.mean(v * v, axis=-1, keepdims=True)
+        return v * jax.lax.rsqrt(var + eps) * w_row.astype(jnp.float32)
+
+    x = x_ref[:]                                   # [1, H] f32
+    normed = rms(x, in_norm_ref[0][None, :])       # [1, H]
+    normed_bf = normed.astype(jnp.bfloat16)
+
+    def mm(a, w):                                  # bf16 × bf16 → f32
+        return jax.lax.dot_general(
+            a, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    q = mm(normed_bf, wq_ref[0]).reshape(HQ, D)    # [16, 128] f32
+    k = mm(normed_bf, wk_ref[0]).reshape(KVH, D)   # [8, 128]
+    v = mm(normed_bf, wv_ref[0]).reshape(KVH, D)
+
+    # Per-head QK-RMSNorm (kernel.cu:364-400)
+    q = rms(q, q_norm_ref[0][None, :])
+    k = rms(k, k_norm_ref[0][None, :])
+
+    # Half-split RoPE
+    cos = cos_ref[0]                                # [D//2]
+    sin = sin_ref[0]
+    d2 = D // 2
+
+    def rope(t):
+        t1, t2 = t[:, :d2], t[:, d2:]
+        return jnp.concatenate(
+            [t1 * cos - t2 * sin, t2 * cos + t1 * sin], axis=-1)
+
+    q = rope(q)
+    k = rope(k)
+
+    k_new_ref[0, :, 0, :] = k.astype(k_new_ref.dtype)
+    v_new_ref[0, :, 0, :] = v.astype(v_new_ref.dtype)
+
+    # ── chunked online-softmax attention over the old cache prefix ──
+    n_old = pos_ref[0]
+    n_chunks = pl.cdiv(n_old, C)
+
+    def k_dma(slot, ci):
+        return pltpu.make_async_copy(
+            k_hbm.at[li, :, pl.ds(ci * C, C), :], k_buf.at[slot], sems.at[slot, 0])
+
+    def v_dma(slot, ci):
+        return pltpu.make_async_copy(
+            v_hbm.at[li, :, pl.ds(ci * C, C), :], v_buf.at[slot], sems.at[slot, 1])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        k_dma(0, 0).start()
+        v_dma(0, 0).start()
+
+    def body(ci, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(ci, 2)
+        nxt = jax.lax.rem(ci + 1, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            k_dma(nxt, ci + 1).start()
+            v_dma(nxt, ci + 1).start()
+
+        k_dma(slot, ci).wait()
+        v_dma(slot, ci).wait()
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) + ci * C
+        valid = col < n_old
+
+        s_rows = []
+        for h in range(KVH):
+            kh = k_buf[slot, h].astype(jnp.float32)          # [C, D]
+            qh = q[h * G:(h + 1) * G]
+            s_rows.append(jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale)
+        s_all = jnp.where(valid, jnp.concatenate(s_rows, axis=0), -jnp.inf)
+
+        m_new = jnp.maximum(m, jnp.max(s_all, axis=1, keepdims=True))
+        p = jnp.exp(s_all - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
+
+        pv_rows = []
+        for h in range(KVH):
+            vh = v_buf[slot, h].astype(jnp.float32)
+            ph = p[h * G:(h + 1) * G]
+            pv_rows.append(jax.lax.dot_general(
+                ph, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        acc_new = acc * corr + jnp.concatenate(pv_rows, axis=0)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((HQ, 1), -jnp.inf, dtype=jnp.float32)
+    l0 = jnp.zeros((HQ, 1), dtype=jnp.float32)
+    acc0 = jnp.zeros((HQ, D), dtype=jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+
+    # Merge the in-flight token as a virtual final column
+    s_rows = []
+    for h in range(KVH):
+        qh = q[h * G:(h + 1) * G]
+        s_rows.append(jnp.sum(qh * k[h:h + 1], axis=-1, keepdims=True))
+    s_new = jnp.concatenate(s_rows, axis=0) * scale
+    m_f = jnp.maximum(m, s_new)
+    corr = jnp.exp(m - m_f)
+    p_new = jnp.exp(s_new - m_f)
+    l_f = l * corr + p_new
+    acc_rows = []
+    for h in range(KVH):
+        sl = slice(h * G, (h + 1) * G)
+        acc_rows.append(acc[sl] * corr[sl] + p_new[sl] * v[h:h + 1])
+    attn = (jnp.concatenate(acc_rows, axis=0) / l_f).reshape(1, Q)  # [1, Q] f32
+
+    # O-proj + residual
+    x = x + mm(attn.astype(jnp.bfloat16), wo_ref[0])
+
+    # Post-norm + SwiGLU MLP + residual (kernel.cu:651-867)
+    normed2_bf = rms(x, post_norm_ref[0][None, :]).astype(jnp.bfloat16)
+    gate = mm(normed2_bf, w_gate_ref[0])
+    up = mm(normed2_bf, w_up_ref[0])
+    mlp = (gate * jax.lax.logistic(gate)) * up      # SiLU(gate) · up, f32
+    x = x + mm(mlp.astype(jnp.bfloat16), w_down_ref[0])
+    x_ref[:] = x
+
+    # Final RMSNorm + fused LM head (kernel.cu:1276-1314, 1022-1185)
+    @pl.when(li == L - 1)
+    def _():
+        nrm = rms(x, final_norm_ref[0][None, :])     # [1, H] f32
+        normed_ref[:] = nrm
+        logits_ref[:] = mm(nrm.astype(jnp.bfloat16), lm_head_ref[:])
+
+
+def _const_spec(shape):
+    """A weight fetched once (same block every grid step)."""
+    return pl.BlockSpec(shape, lambda l: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _layer_spec(shape):
+    """Per-layer slab: block l of the leading axis, streamed per grid step."""
+    return pl.BlockSpec((1,) + shape[1:],
+                        lambda l: (l,) + tuple(0 for _ in shape[1:]),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk"))
+def megakernel_forward(
+    cfg: DecoderConfig,
+    w: DecoderWeights,
+    state: DecodeState,
+    embed: jax.Array,        # [H] any float dtype
+    chunk: int = 256,
+):
+    """One fused decode step. Returns (new_state, logits [V] f32, normed [H] f32)."""
+    L, H, Q, KV = cfg.num_layers, cfg.hidden_size, cfg.q_size, cfg.kv_size
+    KVH, D, I, V = cfg.num_kv_heads, cfg.head_dim, cfg.intermediate_size, cfg.vocab_size
+    S = cfg.max_seq_len
+    C = min(chunk, S)
+    pos = state.position
+
+    cos = jax.lax.dynamic_slice_in_dim(w.rope.cos, pos, 1, axis=0)  # [1, D//2]
+    sin = jax.lax.dynamic_slice_in_dim(w.rope.sin, pos, 1, axis=0)
+
+    kernel = functools.partial(_megakernel, cfg=cfg, chunk=C)
+    lw = w.layers
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((L, KVH, 1, D), state.k_cache.dtype),  # k_new
+        jax.ShapeDtypeStruct((L, KVH, 1, D), state.v_cache.dtype),  # v_new
+        jax.ShapeDtypeStruct((1, H), jnp.float32),                  # normed
+        jax.ShapeDtypeStruct((1, V), jnp.float32),                  # logits
+    )
+    out_specs = (
+        _layer_spec((L, KVH, 1, D)),
+        _layer_spec((L, KVH, 1, D)),
+        _const_spec((1, H)),
+        _const_spec((1, V)),
+    )
+    in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # position
+            _layer_spec(lw.input_norm.shape),
+            _layer_spec(lw.wq.shape),
+            _layer_spec(lw.wk.shape),
+            _layer_spec(lw.wv.shape),
+            _layer_spec(lw.q_norm.shape),
+            _layer_spec(lw.k_norm.shape),
+            _layer_spec(lw.wo.shape),
+            _layer_spec(lw.post_norm.shape),
+            _layer_spec(lw.w_gate.shape),
+            _layer_spec(lw.w_up.shape),
+            _layer_spec(lw.w_down.shape),
+            _const_spec((1, H)),            # final_norm
+            _const_spec((H, V)),            # lm_head
+            _const_spec((1, H)),            # embed
+            _const_spec((1, D // 2)),       # cos
+            _const_spec((1, D // 2)),       # sin
+            pl.BlockSpec(memory_space=pl.ANY),   # k cache
+            pl.BlockSpec(memory_space=pl.ANY),   # v cache
+        ]
+
+    k_new, v_new, normed, logits = pl.pallas_call(
+        kernel,
+        grid=(L,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((1, H), jnp.float32),
+            pltpu.VMEM((2, KVH, C, D), state.k_cache.dtype),
+            pltpu.VMEM((2, KVH, C, D), state.v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=116 * 1024 * 1024,
+        ),
+    )(
+        jnp.asarray(pos, jnp.int32).reshape(1),
+        lw.input_norm, lw.wq, lw.wk, lw.wv, lw.q_norm, lw.k_norm,
+        lw.wo, lw.post_norm, lw.w_gate, lw.w_up, lw.w_down,
+        w.final_norm[None, :], w.lm_head,
+        embed.astype(jnp.float32)[None, :], cos, sin,
+        state.k_cache, state.v_cache,
+    )
+
+    k_cache = jax.lax.dynamic_update_slice(
+        state.k_cache, k_new, (0, 0, pos, 0))
+    v_cache = jax.lax.dynamic_update_slice(
+        state.v_cache, v_new, (0, 0, pos, 0))
+    new_state = DecodeState(k_cache=k_cache, v_cache=v_cache,
+                            position=pos + 1)
+    return new_state, logits[0], normed[0]
+
+
+def decode_step_with_embed(cfg: DecoderConfig, w: DecoderWeights,
+                           state: DecodeState, embed: jax.Array):
+    """Megakernel-backed step_with_embed (reference: model_tts.py:287-330)."""
+    state, logits, normed = megakernel_forward(cfg, w, state, embed)
+    token = jnp.argmax(logits).astype(jnp.int32)
+    return state, token, normed
+
+
+def decode_step(cfg: DecoderConfig, w: DecoderWeights,
+                state: DecodeState, token_id: jax.Array):
+    """Megakernel-backed step (reference: model_tts.py:254-285)."""
+    return decode_step_with_embed(cfg, w, state, w.embed[token_id])

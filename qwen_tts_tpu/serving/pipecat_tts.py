@@ -1,0 +1,116 @@
+"""Pipecat TTSService wrapper for the TPU TTS engine.
+
+Preserves the reference's frame protocol exactly
+(reference: pipecat_tts.py:33-139): `run_tts` yields `TTSStartedFrame`,
+then PCM16 `TTSAudioRawFrame` chunks at 24 kHz, then `TTSStoppedFrame`;
+`ErrorFrame` on exception; TTFB/usage metric hooks; engine initialization
+deferred to a thread-pool executor so the pipeline loop never blocks on
+weight loading / compilation.
+
+`pipecat-ai` is an optional dependency: importing this module without it
+raises a clear error only when the service is actually constructed.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from typing import AsyncGenerator, Optional
+
+import numpy as np
+
+from ..engine.tts_engine import TTSConfig, TTSEngine
+
+logger = logging.getLogger(__name__)
+
+try:
+    from pipecat.frames.frames import (
+        ErrorFrame,
+        Frame,
+        TTSAudioRawFrame,
+        TTSStartedFrame,
+        TTSStoppedFrame,
+    )
+    from pipecat.services.tts_service import TTSService
+
+    _PIPECAT_AVAILABLE = True
+except Exception:  # pragma: no cover - exercised only without pipecat
+    _PIPECAT_AVAILABLE = False
+
+    class TTSService:  # type: ignore[no-redef]
+        """Stub base so the module imports without pipecat installed."""
+
+        def __init__(self, **kwargs):
+            raise ImportError(
+                "pipecat-ai is required for TPUMegakernelTTSService; "
+                "install it or use qwen_tts_tpu.engine.TTSEngine directly."
+            )
+
+
+def float32_to_pcm16(audio: np.ndarray) -> bytes:
+    """Clip + scale f32 [-1,1] → int16 bytes (reference: pipecat_tts.py:135-139)."""
+    clipped = np.clip(audio, -1.0, 1.0)
+    return (clipped * 32767.0).astype(np.int16).tobytes()
+
+
+if _PIPECAT_AVAILABLE:
+
+    class TPUMegakernelTTSService(TTSService):
+        """Drop-in replacement for the reference MegakernelTTSService
+        (reference: pipecat_tts.py:33-132)."""
+
+        def __init__(
+            self,
+            *,
+            config: Optional[TTSConfig] = None,
+            sample_rate: int = 24000,
+            chunk_frames: int = 10,
+            **kwargs,
+        ):
+            super().__init__(sample_rate=sample_rate, **kwargs)
+            cfg = config or TTSConfig()
+            cfg.sample_rate = sample_rate
+            cfg.chunk_frames = chunk_frames
+            self._engine = TTSEngine(cfg)
+            self._engine_ready = False
+
+        def can_generate_metrics(self) -> bool:
+            return True
+
+        async def _ensure_engine(self):
+            if not self._engine_ready:
+                loop = asyncio.get_event_loop()
+                await loop.run_in_executor(None, self._engine.initialize)
+                self._engine_ready = True
+
+        async def run_tts(self, text: str, context_id: Optional[str] = None
+                          ) -> AsyncGenerator[Frame, None]:
+            logger.debug(f"Generating TTS: [{text}]")
+            try:
+                await self.start_ttfb_metrics()
+                await self.start_tts_usage_metrics(text)
+                yield TTSStartedFrame()
+
+                await self._ensure_engine()
+                first = True
+                async for audio, sr in self._engine.synthesize_streaming(text):
+                    if first:
+                        await self.stop_ttfb_metrics()
+                        first = False
+                    yield TTSAudioRawFrame(
+                        audio=float32_to_pcm16(audio),
+                        sample_rate=sr,
+                        num_channels=1,
+                    )
+            except Exception as e:  # noqa: BLE001
+                logger.exception("TTS generation failed")
+                yield ErrorFrame(error=f"TTS error: {e}")
+            finally:
+                await self.stop_ttfb_metrics()
+                yield TTSStoppedFrame()
+
+    # Reference-name alias
+    MegakernelTTSService = TPUMegakernelTTSService
+else:
+    TPUMegakernelTTSService = TTSService  # raises on construction
+    MegakernelTTSService = TTSService

@@ -1,0 +1,40 @@
+"""Test config: force CPU with 8 virtual devices so sharding tests run
+anywhere; Pallas kernels run with interpret=True on CPU (a testability
+improvement over the reference, whose tests all require real hardware —
+reference: SURVEY.md §4)."""
+
+import os
+
+# Hard-override: the session env may pin JAX_PLATFORMS to the TPU platform,
+# but the unit suite is spec'd to run on a virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The env var alone is overridden by the preinstalled TPU plugin in this
+# image; the config update reliably pins the CPU backend.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+
+import pytest  # noqa: E402
+
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from qwen_tts_tpu.core.config import tiny_test_config  # noqa: E402
+from qwen_tts_tpu.core.weights import init_tts_weights  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_cfg():
+    return tiny_test_config(max_seq_len=64)
+
+
+@pytest.fixture(scope="session")
+def tiny_weights(tiny_cfg):
+    return init_tts_weights(jax.random.PRNGKey(0), tiny_cfg)
