@@ -40,14 +40,14 @@ def _megakernel(
     # scalars
     pos_ref,          # SMEM [1] int32 — #old cache entries
     # per-layer streamed weights (block = one layer's slab)
-    in_norm_ref,      # [1, H]
+    in_norm_ref,      # [1, 1, H]
     wq_ref,           # [1, H, Q]
     wk_ref,           # [1, H, KV]
     wv_ref,           # [1, H, KV]
-    q_norm_ref,       # [1, D]
-    k_norm_ref,       # [1, D]
+    q_norm_ref,       # [1, 1, D]
+    k_norm_ref,       # [1, 1, D]
     wo_ref,           # [1, Q, H]
-    post_norm_ref,    # [1, H]
+    post_norm_ref,    # [1, 1, H]
     w_gate_ref,       # [1, H, I]
     w_up_ref,         # [1, H, I]
     w_down_ref,       # [1, I, H]
@@ -91,7 +91,7 @@ def _megakernel(
         return v * jax.lax.rsqrt(var + eps) * w_row.astype(jnp.float32)
 
     x = x_ref[:]                                   # [1, H] f32
-    normed = rms(x, in_norm_ref[0][None, :])       # [1, H]
+    normed = rms(x, in_norm_ref[0])                # [1, H]
     normed_bf = normed.astype(jnp.bfloat16)
 
     def mm(a, w):                                  # bf16 × bf16 → f32
@@ -104,8 +104,8 @@ def _megakernel(
     v = mm(normed_bf, wv_ref[0]).reshape(KVH, D)
 
     # Per-head QK-RMSNorm (kernel.cu:364-400)
-    q = rms(q, q_norm_ref[0][None, :])
-    k = rms(k, k_norm_ref[0][None, :])
+    q = rms(q, q_norm_ref[0])
+    k = rms(k, k_norm_ref[0])
 
     # Half-split RoPE
     cos = cos_ref[0]                                # [D//2]
@@ -205,7 +205,7 @@ def _megakernel(
     x = x + mm(attn.astype(jnp.bfloat16), wo_ref[0])
 
     # Post-norm + SwiGLU MLP + residual (kernel.cu:651-867)
-    normed2_bf = rms(x, post_norm_ref[0][None, :]).astype(jnp.bfloat16)
+    normed2_bf = rms(x, post_norm_ref[0]).astype(jnp.bfloat16)
     gate = mm(normed2_bf, w_gate_ref[0])
     up = mm(normed2_bf, w_up_ref[0])
     mlp = (gate * jax.lax.logistic(gate)) * up      # SiLU(gate) · up, f32
@@ -268,14 +268,14 @@ def megakernel_forward(
     )
     in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),   # position
-            _layer_spec(lw.input_norm.shape),
+            _layer_spec((L, 1, H)),
             _layer_spec(lw.wq.shape),
             _layer_spec(lw.wk.shape),
             _layer_spec(lw.wv.shape),
-            _layer_spec(lw.q_norm.shape),
-            _layer_spec(lw.k_norm.shape),
+            _layer_spec((L, 1, D)),
+            _layer_spec((L, 1, D)),
             _layer_spec(lw.wo.shape),
-            _layer_spec(lw.post_norm.shape),
+            _layer_spec((L, 1, H)),
             _layer_spec(lw.w_gate.shape),
             _layer_spec(lw.w_up.shape),
             _layer_spec(lw.w_down.shape),
@@ -305,8 +305,9 @@ def megakernel_forward(
         ),
     )(
         jnp.asarray(pos, jnp.int32).reshape(1),
-        lw.input_norm, lw.wq, lw.wk, lw.wv, lw.q_norm, lw.k_norm,
-        lw.wo, lw.post_norm, lw.w_gate, lw.w_up, lw.w_down,
+        lw.input_norm[:, None, :], lw.wq, lw.wk, lw.wv,
+        lw.q_norm[:, None, :], lw.k_norm[:, None, :],
+        lw.wo, lw.post_norm[:, None, :], lw.w_gate, lw.w_up, lw.w_down,
         w.final_norm[None, :], w.lm_head,
         embed.astype(jnp.float32)[None, :], cos, sin,
         state.k_cache, state.v_cache,
