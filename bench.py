@@ -30,7 +30,8 @@ def main():
     p.add_argument("--max-seq", type=int, default=8192)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--repeats", type=int, default=3)
-    p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--backend", default="mega",
+                   choices=["mega", "pallas", "dense"])
     args = p.parse_args()
 
     from qwen_tts_tpu.core.config import CODEC_BOS, DecoderConfig
@@ -40,7 +41,7 @@ def main():
 
     cfg = DecoderConfig(max_seq_len=args.max_seq)
     w = init_decoder_weights(jax.random.PRNGKey(0), cfg)
-    attn_impl = "pallas" if args.backend == "pallas" else "dense"
+    attn_impl = args.backend
 
     import numpy as np
 

@@ -7,7 +7,6 @@ TPU port of the reference demo (reference: demo_tts.py:17-61).
 import argparse
 import sys
 import time
-import wave
 from pathlib import Path
 
 import numpy as np
@@ -16,12 +15,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def write_wav(path: str, audio: np.ndarray, sr: int):
-    pcm = (np.clip(audio, -1, 1) * 32767).astype(np.int16)
-    with wave.open(path, "wb") as f:
-        f.setnchannels(1)
-        f.setsampwidth(2)
-        f.setframerate(sr)
-        f.writeframes(pcm.tobytes())
+    from qwen_tts_tpu.runtime.native import write_wav as _ww
+    _ww(path, audio, sr)
 
 
 def main():

@@ -19,7 +19,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 async def run_text_only(args):
     """REPL: type text, hear (count) synthesized audio chunks."""
     from qwen_tts_tpu.engine.tts_engine import TTSConfig, TTSEngine
-    from qwen_tts_tpu.serving.pipecat_tts import float32_to_pcm16
+    from qwen_tts_tpu.runtime.native import f32_to_pcm16 as float32_to_pcm16
 
     engine = TTSEngine(TTSConfig(model_path=args.model_path,
                                  max_seq_len=args.max_seq))

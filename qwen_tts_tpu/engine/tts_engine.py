@@ -78,7 +78,7 @@ class TTSConfig:
     max_seq_len: int = 8192               # talker KV-cache length
     vocoder_mode: str = "auto"            # auto | random | silence
     trailing_bucket: int = 64
-    backend: str = "auto"                 # auto | dense | pallas
+    backend: str = "auto"                 # auto | dense | pallas | mega
 
 
 class TTSEngine:
@@ -122,9 +122,9 @@ class TTSEngine:
         self._frames_generated = 0
         if cfg.backend == "auto":
             self._attn_impl = (
-                "pallas" if jax.default_backend() not in ("cpu",) else "dense")
+                "mega" if jax.default_backend() not in ("cpu",) else "dense")
         else:
-            self._attn_impl = "pallas" if cfg.backend == "pallas" else "dense"
+            self._attn_impl = cfg.backend
 
         # Precompute constant embeddings (reference: tts_engine.py:106-137)
         tp_w = self.weights.text_projection

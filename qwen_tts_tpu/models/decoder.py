@@ -204,6 +204,13 @@ def forward_chunk(
     predictor consumes (reference: kernel.cu:1276-1314 `g_normalized`).
     """
     T = embeds.shape[0]
+    if attn_impl == "mega" and T == 1:
+        from ..ops.decode_step import megakernel_forward
+
+        state, _logits, normed1 = megakernel_forward(cfg, w, state, embeds[0])
+        return state, normed1[None, :]
+    if attn_impl == "mega":
+        attn_impl = "dense"      # prefill (T>1) runs the dense mixed path
     pos = state.position
     cos = jax.lax.dynamic_slice_in_dim(w.rope.cos, pos, T, axis=0)  # [T, D//2]
     sin = jax.lax.dynamic_slice_in_dim(w.rope.sin, pos, T, axis=0)
@@ -248,6 +255,12 @@ def decode_step_with_embed(
     """One decode step from a precomputed embedding — the `step_with_embed`
     sentinel path (reference: model_tts.py:287-330). Returns
     (state, token int32, normed [H] f32)."""
+    if attn_impl == "mega":
+        from ..ops.decode_step import megakernel_forward
+
+        state, logits, normed1 = megakernel_forward(cfg, w, state, embed)
+        token = jnp.argmax(logits).astype(jnp.int32)
+        return state, token, normed1
     state, normed = forward_chunk(cfg, w, state, embed[None, :], attn_impl=attn_impl)
     logits = lm_head_logits(w, normed)            # [1, V]
     token = jnp.argmax(logits[0]).astype(jnp.int32)

@@ -9,7 +9,8 @@ the fused frame function in runtime/frame_loop.py); this wrapper exists for
 parity, validation and benchmarks.
 
 `backend="xla"` uses the pure-JAX scan-over-layers step;
-`backend="pallas"` uses the fused Pallas megakernel step (ops/decode_step.py).
+`backend="pallas"` uses the chunked Pallas attention inside the XLA step;
+`backend="mega"` uses the fully fused Pallas megakernel (ops/decode_step.py).
 """
 
 from __future__ import annotations
@@ -30,10 +31,10 @@ def _get_step_fns(cfg: DecoderConfig, backend: str):
         step = partial(_oracle.decode_step, cfg)
         step_embed = partial(_oracle.decode_step_with_embed, cfg)
         prefill = partial(_oracle.prefill, cfg)
-    elif backend == "pallas":
-        step = partial(_oracle.decode_step, cfg, attn_impl="pallas")
-        step_embed = partial(_oracle.decode_step_with_embed, cfg, attn_impl="pallas")
-        prefill = partial(_oracle.prefill, cfg, attn_impl="pallas")
+    elif backend in ("pallas", "mega"):
+        step = partial(_oracle.decode_step, cfg, attn_impl=backend)
+        step_embed = partial(_oracle.decode_step_with_embed, cfg, attn_impl=backend)
+        prefill = partial(_oracle.prefill, cfg, attn_impl=backend)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     return (

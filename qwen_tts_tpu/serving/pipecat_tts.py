@@ -48,9 +48,12 @@ except Exception:  # pragma: no cover - exercised only without pipecat
 
 
 def float32_to_pcm16(audio: np.ndarray) -> bytes:
-    """Clip + scale f32 [-1,1] → int16 bytes (reference: pipecat_tts.py:135-139)."""
-    clipped = np.clip(audio, -1.0, 1.0)
-    return (clipped * 32767.0).astype(np.int16).tobytes()
+    """Clip + scale f32 [-1,1] → int16 bytes (reference: pipecat_tts.py:135-139).
+
+    Uses the native C fast path (csrc/audio_runtime.c) when available."""
+    from ..runtime.native import f32_to_pcm16
+
+    return f32_to_pcm16(np.asarray(audio))
 
 
 if _PIPECAT_AVAILABLE:
