@@ -45,7 +45,7 @@ from ..core.config import (
 from ..core.weights import TTSWeights, init_tts_weights, load_tts_weights
 from ..models.decoder import init_state
 from ..models.text_projection import embed_text_ids
-from ..runtime.frame_loop import frame_step, talker_prefill
+from ..runtime.frame_loop import frame_step, frames_chunk, talker_prefill
 from ..vocoder.loader import load_vocoder
 from ..vocoder.model import (
     VocoderConfig,
@@ -79,6 +79,7 @@ class TTSConfig:
     vocoder_mode: str = "auto"            # auto | random | silence
     trailing_bucket: int = 64
     backend: str = "auto"                 # auto | dense | pallas | mega
+    fused_chunks: bool = True             # one dispatch per audio chunk
 
 
 class TTSEngine:
@@ -120,6 +121,7 @@ class TTSEngine:
         self._rng = jax.random.PRNGKey(cfg.seed)
         self._talker_state = init_state(mc.talker)
         self._frames_generated = 0
+        self._fused_chunks = cfg.fused_chunks
         if cfg.backend == "auto":
             self._attn_impl = (
                 "mega" if jax.default_backend() not in ("cpu",) else "dense")
@@ -175,7 +177,20 @@ class TTSEngine:
             mc.talker, self.weights.talker, state, dummy_prefill,
             attn_impl=self._attn_impl)
         trailing = jnp.zeros((cfg.trailing_bucket, h), dtype=jnp.bfloat16)
-        for do_sample in (False, True):
+        do_sample = cfg.subtalker_do_sample
+        if self._fused_chunks:
+            for n in (1, cfg.chunk_frames):
+                state, codes, valid, token, hidden = frames_chunk(
+                    mc.talker, mc.code_predictor,
+                    self.weights.talker, self.weights.code_predictor,
+                    state, token, hidden,
+                    trailing, jnp.int32(0), jnp.int32(0),
+                    self._tts_pad_embed, jax.random.PRNGKey(0),
+                    num_frames=n, do_sample=do_sample,
+                    temperature=cfg.subtalker_temperature,
+                    top_k=cfg.subtalker_top_k, attn_impl=self._attn_impl)
+            np.asarray(codes)
+        else:
             r = frame_step(
                 mc.talker, mc.code_predictor,
                 self.weights.talker, self.weights.code_predictor,
@@ -187,12 +202,11 @@ class TTSEngine:
                 top_k=cfg.subtalker_top_k,
                 attn_impl=self._attn_impl,
             )
-            state = r.state
-        jax.block_until_ready(r.codes)
+            np.asarray(r.codes)
         if self.vocoder_weights is not None:
             for n in (1, cfg.chunk_frames):
                 dummy = jnp.zeros((n, mc.num_code_groups), dtype=jnp.int32)
-                jax.block_until_ready(self._vocoder_fn(self.vocoder_weights, dummy))
+                np.asarray(self._vocoder_fn(self.vocoder_weights, dummy))
         # fresh state for real use
         self._talker_state = init_state(mc.talker)
 
@@ -202,7 +216,11 @@ class TTSEngine:
         """Non-streaming synthesis → (waveform f32, sample_rate)
         (reference: tts_engine.py:211-218)."""
         self.initialize()
-        frames = list(self._generate_codec_frames(text))
+        if self._fused_chunks:
+            frames = [f for chunk in self._generate_codec_chunks(
+                text, first_chunk=self.config.chunk_frames) for f in chunk]
+        else:
+            frames = list(self._generate_codec_frames(text))
         if not frames:
             return np.array([], dtype=np.float32), self.sample_rate
         return self._decode_to_audio(frames)
@@ -214,6 +232,16 @@ class TTSEngine:
         `chunk_frames`-frame chunks (reference: tts_engine.py:220-244)."""
         self.initialize()
         chunk_size = chunk_frames or self.config.chunk_frames
+        if self._fused_chunks:
+            # One fused dispatch per chunk: 1-frame first chunk for TTFC,
+            # then chunk_size-frame dispatches (~0.8 s of audio per call).
+            for chunk in self._generate_codec_chunks(
+                    text, first_chunk=1, chunk_size=chunk_size):
+                if not chunk:
+                    continue
+                yield self._decode_to_audio(chunk)
+                await asyncio.sleep(0)
+            return
         buffer: list[np.ndarray] = []
         first_chunk = True
         for frame in self._generate_codec_frames(text):
@@ -252,6 +280,51 @@ class TTSEngine:
         padded_len = max(((t_len + bucket - 1) // bucket) * bucket, bucket)
         trailing = jnp.pad(trailing, ((0, padded_len - t_len), (0, 0)))
         return prefill_embeds, trailing, t_len
+
+    def _generate_codec_chunks(
+        self, text: str, first_chunk: int = 1, chunk_size: Optional[int] = None,
+    ) -> Generator[list, None, None]:
+        """Yield lists of [16] int32 frames, one fused dispatch per chunk
+        (`frames_chunk` scans the whole chunk on device). TPU-first version
+        of the reference's per-frame loop (reference: tts_engine.py:301-335):
+        throughput no longer depends on host dispatch latency."""
+        cfg, mc = self.config, self.model_config
+        chunk_size = chunk_size or cfg.chunk_frames
+
+        prefill_embeds, trailing, trailing_len = self._build_prefill(text)
+        state, prev_token, hidden = talker_prefill(
+            mc.talker, self.weights.talker, init_state(mc.talker),
+            prefill_embeds, attn_impl=self._attn_impl)
+
+        word_count = max(len(text.split()), 1)
+        max_frames = max(int(word_count / 2.5 * 12.5 * 2.0), 25)
+        max_frames = min(max_frames, cfg.max_new_tokens)
+
+        self._rng, loop_rng = jax.random.split(self._rng)
+        produced = 0
+        sizes = [first_chunk]
+        alive = True
+        while alive and produced < max_frames:
+            n = sizes.pop(0) if sizes else chunk_size
+            state, codes, valid, prev_token, hidden = frames_chunk(
+                mc.talker, mc.code_predictor,
+                self.weights.talker, self.weights.code_predictor,
+                state, prev_token, hidden,
+                trailing, jnp.int32(trailing_len), jnp.int32(produced),
+                self._tts_pad_embed, loop_rng,
+                num_frames=n, do_sample=cfg.subtalker_do_sample,
+                temperature=cfg.subtalker_temperature,
+                top_k=cfg.subtalker_top_k, attn_impl=self._attn_impl)
+            codes_np = np.asarray(codes)
+            valid_np = np.asarray(valid)
+            keep = int(valid_np.sum())
+            keep = min(keep, max_frames - produced)
+            alive = bool(valid_np.all()) and produced + keep < max_frames
+            produced += keep
+            self._frames_generated = produced
+            yield [codes_np[i] for i in range(keep)]
+
+        self._talker_state = state
 
     def _generate_codec_frames(self, text: str) -> Generator[np.ndarray, None, None]:
         """Yield one [16] int32 frame at a time (reference: tts_engine.py:246-335)."""

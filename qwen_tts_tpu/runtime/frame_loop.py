@@ -90,6 +90,66 @@ def frame_step(
                        next_token=next_token, next_hidden=next_hidden)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("talker_cfg", "cp_cfg", "do_sample", "temperature",
+                     "top_k", "attn_impl", "num_frames"),
+    donate_argnames=("state",),
+)
+def frames_chunk(
+    talker_cfg: DecoderConfig,
+    cp_cfg: DecoderConfig,
+    talker_w: DecoderWeights,
+    cp_w: CodePredictorWeights,
+    state: DecodeState,
+    prev_token: jax.Array,
+    hidden: jax.Array,
+    trailing: jax.Array,
+    trailing_len: jax.Array,
+    trailing_idx0: jax.Array,
+    tts_pad_embed: jax.Array,
+    rng: jax.Array,
+    num_frames: int = 10,
+    do_sample: bool = True,
+    temperature: float = 0.9,
+    top_k: int = 50,
+    attn_impl: str = "dense",
+):
+    """`num_frames` frames in ONE dispatch — `lax.scan` over the frame body.
+
+    The streaming engine emits one chunk per dispatch (10 frames ≈ 800 ms of
+    audio per call), so end-to-end throughput is independent of host→device
+    dispatch latency. Frames after CODEC_EOS are still computed (scan cannot
+    break) but flagged via the returned `valid` mask and dropped host-side —
+    bounded waste of < one chunk, matching the reference's EOS check
+    granularity (reference: tts_engine.py:302-303).
+
+    Returns (state, codes [num_frames, 16], valid [num_frames] bool,
+    next_token, next_hidden).
+    """
+    from ..core.config import CODEC_EOS
+
+    def body(carry, i):
+        state, tok, hid, alive = carry
+        r = frame_step(
+            talker_cfg, cp_cfg, talker_w, cp_w, state, tok, hid,
+            trailing, trailing_len, trailing_idx0 + i, tts_pad_embed,
+            jax.random.fold_in(rng, trailing_idx0 + i),   # absolute frame index:
+            # sampling streams are invariant to chunk boundaries, so
+            # streaming (1+10+10...) and non-streaming (10+10...) chunkings
+            # produce byte-identical codec frames for the same seed.
+            do_sample=do_sample, temperature=temperature, top_k=top_k,
+            attn_impl=attn_impl)
+        still_alive = jnp.logical_and(alive, tok != CODEC_EOS)
+        return ((r.state, r.next_token, r.next_hidden, still_alive),
+                (r.codes, still_alive))
+
+    (state, tok, hid, _), (codes, valid) = jax.lax.scan(
+        body, (state, prev_token, hidden, jnp.bool_(True)),
+        jnp.arange(num_frames, dtype=jnp.int32))
+    return state, codes, valid, tok, hid
+
+
 @partial(jax.jit, static_argnames=("cfg", "attn_impl"), donate_argnames=("state",))
 def talker_prefill(
     cfg: DecoderConfig,

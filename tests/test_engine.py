@@ -79,3 +79,20 @@ def test_metrics(engine):
     assert m["sample_rate"] == engine.sample_rate
     assert m["frames_generated"] >= 1
     assert m["position"] > 0
+
+
+def test_chunk_boundary_invariance(engine):
+    """Streaming chunking (1+10+...) and non-streaming (10+...) must produce
+    identical codec frames for the same seed — the per-frame rng is keyed on
+    the absolute frame index."""
+    import jax
+
+    engine._rng = jax.random.PRNGKey(77)
+    a = [f for ch in engine._generate_codec_chunks("invariance check text", first_chunk=1,
+                                                   chunk_size=4) for f in ch]
+    engine._rng = jax.random.PRNGKey(77)
+    b = [f for ch in engine._generate_codec_chunks("invariance check text", first_chunk=4,
+                                                   chunk_size=4) for f in ch]
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert (x == y).all()

@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Validate the Pallas megakernel against the pure-JAX oracle.
+
+TPU port of the reference validation harness (reference: validate_kernel.py)
+with the same acceptance policy: greedy token-match across decode modes,
+hidden-state max-diff/cosine reporting, a bf16-argmax-ties tolerance tier
+(cos > 0.995 ⇒ acceptable for TTS), and exit code 1 on failure
+(reference: validate_kernel.py:413-435).
+
+Cases (reference: validate_kernel.py:378-406):
+  1. greedy decode from CODEC_BOS
+  2. decode with a CODEC_PAD prefix
+  3. step_with_embed with random embeddings
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def compare_case(name, cfg, w, steps, inputs, verbose=False):
+    from qwen_tts_tpu.models import decoder as oracle
+    from qwen_tts_tpu.models.decoder import init_state
+
+    step_o = jax.jit(functools.partial(oracle.decode_step_with_embed, cfg))
+    step_m = jax.jit(functools.partial(
+        oracle.decode_step_with_embed, cfg, attn_impl="mega"))
+
+    so, sm = init_state(cfg), init_state(cfg)
+    matches, cosines, max_diffs = 0, [], []
+    for i in range(steps):
+        e = inputs(i)
+        so, to, ho = step_o(w, so, e)
+        sm, tm, hm = step_m(w, sm, e)
+        a, b = np.asarray(ho), np.asarray(hm)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+        cosines.append(cos)
+        max_diffs.append(float(np.abs(a - b).max()))
+        if int(to) == int(tm):
+            matches += 1
+        elif verbose:
+            print(f"  step {i}: token mismatch oracle={int(to)} mega={int(tm)}")
+
+    rate = matches / steps
+    print(f"[{name}] tokens {matches}/{steps} ({rate:.1%})  "
+          f"cos min {min(cosines):.6f}  max|Δh| {max(max_diffs):.4f}")
+    return rate, min(cosines)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--max-seq", type=int, default=2048)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--reference-only", action="store_true",
+                   help="run only the oracle (no Pallas), as a smoke test")
+    args = p.parse_args()
+
+    from qwen_tts_tpu.core.config import CODEC_BOS, CODEC_PAD, DecoderConfig
+    from qwen_tts_tpu.core.weights import init_decoder_weights
+    from qwen_tts_tpu.models import decoder as oracle
+    from qwen_tts_tpu.models.decoder import init_state
+
+    cfg = DecoderConfig(max_seq_len=args.max_seq)
+    w = init_decoder_weights(jax.random.PRNGKey(args.seed), cfg)
+
+    if args.reference_only:
+        state = init_state(cfg)
+        tok = jnp.int32(CODEC_BOS)
+        for _ in range(args.steps):
+            state, tok, hid = oracle.decode_step(cfg, w, state, tok)
+        print(f"oracle-only: final token {int(tok)}, position {int(state.position)}")
+        return
+
+    embeds = {"bos": w.embed[CODEC_BOS], "pad": w.embed[CODEC_PAD]}
+    rng = jax.random.PRNGKey(args.seed + 1)
+    rand_embeds = jax.random.normal(
+        rng, (args.steps, cfg.hidden_size), dtype=jnp.float32)
+
+    results = [
+        compare_case("greedy from BOS", cfg, w, args.steps,
+                     lambda i: embeds["bos"] if i == 0 else embeds["pad"],
+                     args.verbose),
+        compare_case("pad prefix", cfg, w, args.steps,
+                     lambda i: embeds["pad"], args.verbose),
+        compare_case("random embeds", cfg, w, args.steps,
+                     lambda i: rand_embeds[i], args.verbose),
+    ]
+
+    worst_rate = min(r for r, _ in results)
+    worst_cos = min(c for _, c in results)
+    if worst_rate == 1.0 and worst_cos > 0.99:
+        print("PASS: exact token match, cos > 0.99")
+    elif worst_cos > 0.995:
+        print(f"PASS (tolerated): token rate {worst_rate:.1%}, cos "
+              f"{worst_cos:.5f} — bf16 argmax ties, acceptable for TTS")
+    else:
+        print(f"FAIL: token rate {worst_rate:.1%}, cos {worst_cos:.5f}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
