@@ -147,8 +147,35 @@ class TTSEngine:
         self._fused_tags = (tts_prefix + codec_embeds[:4]).astype(jnp.bfloat16)
         self._codec_bos_embed = codec_embeds[4]
 
+        self._build_fused_fns()
         self._warmup()
         self._initialized = True
+
+    def _build_fused_fns(self):
+        """Jit the chunk+vocoder composition (frames_chunk → vocoder_decode
+        in ONE dispatch). Weights ride as closure constants — they stay
+        device-resident across calls."""
+        mc, cfg = self.model_config, self.config
+        tw, cw = self.weights.talker, self.weights.code_predictor
+        vc, vw = self.vocoder_config, self.vocoder_weights
+        pad = self._tts_pad_embed
+        attn_impl = self._attn_impl
+
+        def fn(state, tok, hid, trailing, tlen, tidx0, rng, n):
+            state, codes, valid, tok, hid = frames_chunk(
+                mc.talker, mc.code_predictor, tw, cw, state, tok, hid,
+                trailing, tlen, tidx0, pad, rng, num_frames=n,
+                do_sample=cfg.subtalker_do_sample,
+                temperature=cfg.subtalker_temperature,
+                top_k=cfg.subtalker_top_k, attn_impl=attn_impl)
+            if vw is not None:
+                audio = vocoder_decode(vc, vw, codes)
+            else:
+                audio = jnp.zeros((codes.shape[0] * vc.hop_length,), jnp.float32)
+            return state, codes, valid, tok, hid, audio
+
+        self._chunk_audio_fn = jax.jit(
+            fn, static_argnames=("n",), donate_argnames=("state",))
 
     def _load_vocoder(self):
         cfg = self.config
@@ -180,16 +207,11 @@ class TTSEngine:
         do_sample = cfg.subtalker_do_sample
         if self._fused_chunks:
             for n in (1, cfg.chunk_frames):
-                state, codes, valid, token, hidden = frames_chunk(
-                    mc.talker, mc.code_predictor,
-                    self.weights.talker, self.weights.code_predictor,
-                    state, token, hidden,
-                    trailing, jnp.int32(0), jnp.int32(0),
-                    self._tts_pad_embed, jax.random.PRNGKey(0),
-                    num_frames=n, do_sample=do_sample,
-                    temperature=cfg.subtalker_temperature,
-                    top_k=cfg.subtalker_top_k, attn_impl=self._attn_impl)
-            np.asarray(codes)
+                state, codes, valid, token, hidden, audio = \
+                    self._chunk_audio_fn(
+                        state, token, hidden, trailing,
+                        jnp.int32(0), jnp.int32(0), jax.random.PRNGKey(0), n)
+            np.asarray(audio)
         else:
             r = frame_step(
                 mc.talker, mc.code_predictor,
@@ -232,6 +254,15 @@ class TTSEngine:
         `chunk_frames`-frame chunks (reference: tts_engine.py:220-244)."""
         self.initialize()
         chunk_size = chunk_frames or self.config.chunk_frames
+        if (self._fused_chunks and self.vocoder_weights is not None
+                and chunk_size == self.config.chunk_frames):
+            # Fully fused + pipelined: frames AND vocoder in one dispatch per
+            # chunk, next chunk speculatively enqueued before reading the
+            # current one — steady-state host↔device latency is hidden.
+            for audio, _frames in self._generate_audio_chunks(text, chunk_size):
+                yield audio, self.sample_rate
+                await asyncio.sleep(0)
+            return
         if self._fused_chunks:
             # One fused dispatch per chunk: 1-frame first chunk for TTFC,
             # then chunk_size-frame dispatches (~0.8 s of audio per call).
@@ -280,6 +311,71 @@ class TTSEngine:
         padded_len = max(((t_len + bucket - 1) // bucket) * bucket, bucket)
         trailing = jnp.pad(trailing, ((0, padded_len - t_len), (0, 0)))
         return prefill_embeds, trailing, t_len
+
+    def _generate_audio_chunks(self, text: str, chunk_size: int):
+        """Pipelined fused generation: each dispatch runs `frames_chunk` AND
+        the vocoder on device, returning ~0.8 s of audio per round trip; the
+        next chunk is enqueued *before* the current result is read, so the
+        host↔device round trip overlaps the next chunk's compute (JAX async
+        dispatch — the TPU equivalent of the reference's queued CUDA launches,
+        reference: kernel.cu:1555-1613).
+
+        Yields (audio_f32, frames list). Exactness: full chunks are decoded
+        exactly; a terminal partial chunk is re-decoded from its valid frames
+        only (one extra round trip once per utterance)."""
+        from collections import deque
+
+        cfg, mc = self.config, self.model_config
+        hop = self.vocoder_config.hop_length
+
+        prefill_embeds, trailing, trailing_len = self._build_prefill(text)
+        state, prev_token, hidden = talker_prefill(
+            mc.talker, self.weights.talker, init_state(mc.talker),
+            prefill_embeds, attn_impl=self._attn_impl)
+
+        word_count = max(len(text.split()), 1)
+        max_frames = max(int(word_count / 2.5 * 12.5 * 2.0), 25)
+        max_frames = min(max_frames, cfg.max_new_tokens)
+
+        self._rng, loop_rng = jax.random.split(self._rng)
+        q: deque = deque()
+        planned = 0
+
+        def enqueue(n):
+            nonlocal state, prev_token, hidden, planned
+            state, codes, valid, prev_token, hidden, audio = \
+                self._chunk_audio_fn(
+                    state, prev_token, hidden, trailing,
+                    jnp.int32(trailing_len), jnp.int32(planned), loop_rng, n)
+            q.append((codes, valid, audio, n, planned))
+            planned += n
+
+        enqueue(1)                                   # first chunk: fast TTFC
+        if planned < max_frames:
+            enqueue(chunk_size)                      # depth-1 speculation
+
+        produced = 0
+        while q:
+            codes, valid, audio, n, base = q.popleft()
+            if base >= max_frames:
+                break
+            if planned < max_frames:
+                enqueue(chunk_size)                  # keep the pipe full
+            codes_np, valid_np, audio_np = jax.device_get((codes, valid, audio))
+            keep = min(int(valid_np.sum()), max_frames - base)
+            frames = [codes_np[i] for i in range(keep)]
+            produced = base + keep
+            self._frames_generated = produced
+            if keep == n:
+                yield audio_np[: keep * hop].astype(np.float32), frames
+            else:
+                if keep > 0:
+                    audio_exact, _ = self._decode_to_audio(frames)
+                    yield audio_exact, frames
+                break                                 # EOS inside this chunk
+            if keep < n or produced >= max_frames:
+                break
+        self._talker_state = state
 
     def _generate_codec_chunks(
         self, text: str, first_chunk: int = 1, chunk_size: Optional[int] = None,
@@ -373,13 +469,24 @@ class TTSEngine:
     # ── vocoder ──────────────────────────────────────────────────────────
 
     def _decode_to_audio(self, frames: list[np.ndarray]) -> tuple[np.ndarray, int]:
-        """Codec frames → waveform (reference: tts_engine.py:337-350)."""
+        """Codec frames → waveform (reference: tts_engine.py:337-350).
+
+        Frame counts are padded up to {1, chunk_frames, 2×chunk_frames, ...}
+        buckets so the jitted vocoder never sees a new shape mid-stream (a
+        fresh conv-stack compile costs seconds); the waveform is sliced back
+        to the exact length."""
         if not frames:
             return np.array([], dtype=np.float32), self.sample_rate
-        codes = jnp.asarray(np.stack(frames), dtype=jnp.int32)
+        T = len(frames)
+        cf = self.config.chunk_frames
+        bucket = 1 if T == 1 else ((T + cf - 1) // cf) * cf
+        codes = np.zeros((bucket, len(frames[0])), dtype=np.int32)
+        codes[:T] = np.stack(frames)
+        codes = jnp.asarray(codes)
         if self.vocoder_weights is not None:
             wav = self._vocoder_fn(self.vocoder_weights, codes)
-            return np.asarray(wav, dtype=np.float32), self.sample_rate
+            wav = np.asarray(wav, dtype=np.float32)
+            return wav[: T * self.vocoder_config.hop_length], self.sample_rate
         duration_sec = len(frames) / self.model_config.frame_rate_hz
         return (np.zeros(int(duration_sec * self.sample_rate), dtype=np.float32),
                 self.sample_rate)
