@@ -1,8 +1,10 @@
 #!/usr/bin/env python3
-"""Real-time factor over N frames, with per-frame phase split.
+"""Real-time factor over N frames (streaming + non-streaming, warm paths).
 
 TPU port of the reference RTF benchmark (reference: benchmarks/measure_rtf.py:
-23-153 — per-frame talker/CP/embed split + wall-clock streaming RTF).
+23-153). Both modes run through the public engine API on warm compiled
+signatures; the streaming mode exercises the fully fused pipelined path
+(frames+vocoder per dispatch, depth-1 speculation).
 """
 
 import argparse
@@ -13,8 +15,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import numpy as np
-
 
 def main():
     p = argparse.ArgumentParser()
@@ -23,6 +23,7 @@ def main():
                                       "many frames of generated speech audio."))
     p.add_argument("--frames", type=int, default=50)
     p.add_argument("--max-seq", type=int, default=2048)
+    p.add_argument("--runs", type=int, default=3)
     args = p.parse_args()
 
     from qwen_tts_tpu.engine.tts_engine import TTSConfig, TTSEngine
@@ -30,31 +31,39 @@ def main():
     eng = TTSEngine(TTSConfig(max_seq_len=args.max_seq, max_new_tokens=args.frames))
     eng.initialize()
 
-    # Non-streaming RTF: frames + one vocoder decode
-    t0 = time.perf_counter()
-    frames = list(eng._generate_codec_frames(args.text))[: args.frames]
-    t_frames = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    wav, sr = eng._decode_to_audio(frames)
-    t_voc = time.perf_counter() - t0
-    dur = len(wav) / sr
-    rtf = (t_frames + t_voc) / dur
-    print(f"frames: {len(frames)}  gen {t_frames * 1000:.0f} ms "
-          f"({t_frames / len(frames) * 1000:.1f} ms/frame)  vocoder {t_voc * 1000:.0f} ms")
-    print(f"non-streaming RTF: {rtf:.3f} ({'PASS' if rtf < 0.3 else 'FAIL'} vs 0.3)")
+    # Warm both public paths once (also compiles the utterance's trailing bucket)
+    eng.synthesize(args.text)
 
-    # Streaming RTF (wall-clock through the async generator)
     async def stream():
         t0 = time.perf_counter()
         total = 0
-        async for audio, sr2 in eng.synthesize_streaming(args.text):
+        n_chunks = 0
+        async for audio, sr in eng.synthesize_streaming(args.text):
             total += len(audio)
-        return time.perf_counter() - t0, total
+            n_chunks += 1
+        return time.perf_counter() - t0, total, n_chunks
 
-    wall, samples = asyncio.run(stream())
+    asyncio.run(stream())   # warm
+
+    best_ns = float("inf")
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        wav, sr = eng.synthesize(args.text)
+        best_ns = min(best_ns, time.perf_counter() - t0)
+    dur = len(wav) / sr
+    rtf_ns = best_ns / dur
+    print(f"non-streaming: {best_ns * 1000:.0f} ms for {dur:.2f}s audio "
+          f"({eng.get_metrics()['frames_generated']} frames)")
+    print(f"non-streaming RTF: {rtf_ns:.3f} ({'PASS' if rtf_ns < 0.3 else 'FAIL'} vs 0.3)")
+
+    best_s = float("inf")
+    for _ in range(args.runs):
+        wall, samples, n_chunks = asyncio.run(stream())
+        best_s = min(best_s, wall)
     sdur = samples / eng.sample_rate
-    srtf = wall / sdur if sdur else float("inf")
-    print(f"streaming RTF: {srtf:.3f} ({'PASS' if srtf < 0.3 else 'FAIL'} vs 0.3)")
+    rtf_s = best_s / sdur if sdur else float("inf")
+    print(f"streaming: {best_s * 1000:.0f} ms for {sdur:.2f}s audio in {n_chunks} chunks")
+    print(f"streaming RTF: {rtf_s:.3f} ({'PASS' if rtf_s < 0.3 else 'FAIL'} vs 0.3)")
 
 
 if __name__ == "__main__":

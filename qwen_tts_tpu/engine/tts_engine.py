@@ -153,29 +153,35 @@ class TTSEngine:
 
     def _build_fused_fns(self):
         """Jit the chunk+vocoder composition (frames_chunk → vocoder_decode
-        in ONE dispatch). Weights ride as closure constants — they stay
-        device-resident across calls."""
+        in ONE dispatch). Weights are passed as jit ARGUMENTS — closing over
+        large arrays would embed them as XLA constants, which this platform
+        handles pathologically (observed compile wedges)."""
         mc, cfg = self.model_config, self.config
-        tw, cw = self.weights.talker, self.weights.code_predictor
-        vc, vw = self.vocoder_config, self.vocoder_weights
-        pad = self._tts_pad_embed
+        vc = self.vocoder_config
         attn_impl = self._attn_impl
+        has_vocoder = self.vocoder_weights is not None
 
-        def fn(state, tok, hid, trailing, tlen, tidx0, rng, n):
+        def fn(tw, cw, vw, pad, state, tok, hid, trailing, tlen, tidx0, rng, n):
             state, codes, valid, tok, hid = frames_chunk(
                 mc.talker, mc.code_predictor, tw, cw, state, tok, hid,
                 trailing, tlen, tidx0, pad, rng, num_frames=n,
                 do_sample=cfg.subtalker_do_sample,
                 temperature=cfg.subtalker_temperature,
                 top_k=cfg.subtalker_top_k, attn_impl=attn_impl)
-            if vw is not None:
+            if has_vocoder:
                 audio = vocoder_decode(vc, vw, codes)
             else:
                 audio = jnp.zeros((codes.shape[0] * vc.hop_length,), jnp.float32)
             return state, codes, valid, tok, hid, audio
 
-        self._chunk_audio_fn = jax.jit(
-            fn, static_argnames=("n",), donate_argnames=("state",))
+        jitted = jax.jit(fn, static_argnames=("n",), donate_argnames=("state",))
+
+        def call(state, tok, hid, trailing, tlen, tidx0, rng, n):
+            return jitted(self.weights.talker, self.weights.code_predictor,
+                          self.vocoder_weights, self._tts_pad_embed,
+                          state, tok, hid, trailing, tlen, tidx0, rng, n)
+
+        self._chunk_audio_fn = call
 
     def _load_vocoder(self):
         cfg = self.config
