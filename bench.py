@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=512)
+    p.add_argument("--steps", type=int, default=1024)
     p.add_argument("--max-seq", type=int, default=8192)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--repeats", type=int, default=3)

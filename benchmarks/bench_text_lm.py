@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Original Qwen3-0.6B text-LM benchmark + correctness check.
+
+TPU port of the reference text-LM bench (reference: qwen_megakernel/bench.py:
+83-133 — tok/s plus a greedy-token golden check against HuggingFace
+`model.generate`). Offline (no checkpoint), the golden check runs
+megakernel-vs-oracle instead; pass --model-path to check against real
+weights loaded from safetensors.
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=128)
+    p.add_argument("--prompt-len", type=int, default=16)
+    p.add_argument("--model-path", default=None)
+    p.add_argument("--check-steps", type=int, default=20)
+    args = p.parse_args()
+
+    from qwen_tts_tpu.core.weights import init_decoder_weights
+    from qwen_tts_tpu.models.decoder import decode_step, init_state, prefill
+    from qwen_tts_tpu.models.text_lm import TEXT_LM_CONFIG, TextLM, load_text_lm_weights
+    from qwen_tts_tpu.runtime.generate import generate_tokens
+
+    cfg = TEXT_LM_CONFIG
+    if args.model_path:
+        w, tok = load_text_lm_weights(args.model_path, cfg)
+    else:
+        w = init_decoder_weights(jax.random.PRNGKey(0), cfg)
+        tok = None
+
+    lm = TextLM(w, cfg, tokenizer=tok, attn_impl="mega")
+    prompt = list(range(1, args.prompt_len + 1))
+
+    # throughput (prefill + fused scan decode)
+    t0 = time.perf_counter()
+    out = lm.generate(prompt, max_new_tokens=args.steps)
+    dt = time.perf_counter() - t0
+    print(f"text LM: {args.steps / dt:.0f} tok/s end-to-end "
+          f"({dt / args.steps * 1000:.2f} ms/tok incl. prefill)")
+    print(f"first tokens: {out[:8]}")
+
+    # golden check: megakernel vs oracle, greedy
+    state_o, state_m = init_state(cfg), init_state(cfg)
+    ids = jnp.asarray(prompt, dtype=jnp.int32)
+    state_o, tok_o, _ = prefill(cfg, w, state_o, w.embed[ids])
+    state_m, tok_m, _ = prefill(cfg, w, state_m, w.embed[ids], attn_impl="mega")
+    match = int(tok_o == tok_m)
+    for _ in range(args.check_steps - 1):
+        state_o, tok_o, _ = decode_step(cfg, w, state_o, tok_o)
+        state_m, tok_m, _ = decode_step(cfg, w, state_m, tok_m, attn_impl="mega")
+        match += int(int(tok_o) == int(tok_m))
+    rate = match / args.check_steps
+    print(f"golden check (oracle vs megakernel): {match}/{args.check_steps} "
+          f"tokens ({rate:.0%}) → {'PASS' if rate >= 0.95 else 'FAIL'}")
+    sys.exit(0 if rate >= 0.95 else 1)
+
+
+if __name__ == "__main__":
+    main()

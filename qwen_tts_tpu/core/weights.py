@@ -29,20 +29,20 @@ from .config import (
 class LayerWeights(NamedTuple):
     """Per-layer decoder weights, stacked on a leading `[num_layers, ...]` axis.
 
-    Mirrors the 11 tensors of the reference `LDGLayerWeights` struct
-    (reference: csrc/kernel.cu:78-90), transposed for `x @ W`.
+    Carries the same 11 logical tensors as the reference `LDGLayerWeights`
+    struct (reference: csrc/kernel.cu:78-90), transposed for `x @ W` and with
+    the Q/K/V and gate/up projections CONCATENATED on the output axis — one
+    `[H, Q+2KV]` and one `[H, 2I]` matmul per layer instead of five, so the
+    megakernel streams fewer, larger weight slabs per grid step.
     """
 
     input_norm: jax.Array   # [L, H]
-    wq: jax.Array           # [L, H, Q]
-    wk: jax.Array           # [L, H, KV]
-    wv: jax.Array           # [L, H, KV]
+    wqkv: jax.Array         # [L, H, Q + 2*KV]  (q | k | v)
     q_norm: jax.Array       # [L, D]
     k_norm: jax.Array       # [L, D]
     wo: jax.Array           # [L, Q, H]
     post_norm: jax.Array    # [L, H]
-    w_gate: jax.Array       # [L, H, I]
-    w_up: jax.Array         # [L, H, I]
+    w_gate_up: jax.Array    # [L, H, 2*I]       (gate | up)
     w_down: jax.Array       # [L, I, H]
 
 
@@ -93,6 +93,22 @@ class TTSWeights(NamedTuple):
     text_projection: TextProjectionWeights
 
 
+def load_speaker_encoder(model_path: str) -> dict[str, np.ndarray]:
+    """Speaker-encoder tensors (`speaker_encoder.*`).
+
+    Parity note: the reference loads these onto the GPU but never uses them —
+    voice cloning is unimplemented there too (reference: model_tts.py:148-151,
+    README.md:210). Here they are opt-in so HBM isn't wasted by default."""
+    if os.path.isdir(model_path):
+        st_path = os.path.join(model_path, "model.safetensors")
+    else:
+        from huggingface_hub import hf_hub_download
+
+        st_path = hf_hub_download(model_path, "model.safetensors")
+    state = _np_state(st_path)
+    return {k: v for k, v in state.items() if k.startswith("speaker_encoder.")}
+
+
 # ── RoPE tables ──────────────────────────────────────────────────────────────
 
 
@@ -129,15 +145,12 @@ def init_decoder_weights(
 
     layers = LayerWeights(
         input_norm=jnp.ones((L, h), dtype=dtype),
-        wq=mat(ks[0], (L, h, q), h),
-        wk=mat(ks[1], (L, h, kv), h),
-        wv=mat(ks[2], (L, h, kv), h),
+        wqkv=mat(ks[0], (L, h, q + 2 * kv), h),
         q_norm=jnp.ones((L, d), dtype=dtype),
         k_norm=jnp.ones((L, d), dtype=dtype),
         wo=mat(ks[3], (L, q, h), q),
         post_norm=jnp.ones((L, h), dtype=dtype),
-        w_gate=mat(ks[4], (L, h, i), h),
-        w_up=mat(ks[5], (L, h, i), h),
+        w_gate_up=mat(ks[4], (L, h, 2 * i), h),
         w_down=mat(ks[6], (L, i, h), i),
     )
     if with_heads:
@@ -186,22 +199,18 @@ def init_tts_weights(key: jax.Array, cfg: TTSModelConfig, dtype=jnp.bfloat16) ->
 
 _LAYER_KEYS = (
     ("input_norm", "input_layernorm.weight", False),
-    ("wq", "self_attn.q_proj.weight", True),
-    ("wk", "self_attn.k_proj.weight", True),
-    ("wv", "self_attn.v_proj.weight", True),
     ("q_norm", "self_attn.q_norm.weight", False),
     ("k_norm", "self_attn.k_norm.weight", False),
     ("wo", "self_attn.o_proj.weight", True),
     ("post_norm", "post_attention_layernorm.weight", False),
-    ("w_gate", "mlp.gate_proj.weight", True),
-    ("w_up", "mlp.up_proj.weight", True),
     ("w_down", "mlp.down_proj.weight", True),
 )
 
 
 def _stack_layers(state: dict[str, np.ndarray], prefix: str, num_layers: int,
                   dtype) -> LayerWeights:
-    """Stack per-layer torch-layout tensors into `[L, ...]`, transposing matrices."""
+    """Stack per-layer torch-layout tensors into `[L, ...]`, transposing
+    matrices and fusing q|k|v and gate|up on the output axis."""
     out: dict[str, jax.Array] = {}
     for field, suffix, transpose in _LAYER_KEYS:
         per_layer = []
@@ -209,6 +218,17 @@ def _stack_layers(state: dict[str, np.ndarray], prefix: str, num_layers: int,
             t = state[f"{prefix}{i}.{suffix}"]
             per_layer.append(t.T if transpose else t)
         out[field] = jnp.asarray(np.stack(per_layer), dtype=dtype)
+    out["wqkv"] = jnp.asarray(np.stack([
+        np.concatenate([
+            state[f"{prefix}{i}.self_attn.q_proj.weight"].T,
+            state[f"{prefix}{i}.self_attn.k_proj.weight"].T,
+            state[f"{prefix}{i}.self_attn.v_proj.weight"].T,
+        ], axis=1) for i in range(num_layers)]), dtype=dtype)
+    out["w_gate_up"] = jnp.asarray(np.stack([
+        np.concatenate([
+            state[f"{prefix}{i}.mlp.gate_proj.weight"].T,
+            state[f"{prefix}{i}.mlp.up_proj.weight"].T,
+        ], axis=1) for i in range(num_layers)]), dtype=dtype)
     return LayerWeights(**out)
 
 

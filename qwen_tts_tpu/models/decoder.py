@@ -84,15 +84,12 @@ class LayerSlice(NamedTuple):
     """One layer's weights (no leading L axis) — what scan feeds the body."""
 
     input_norm: jax.Array
-    wq: jax.Array
-    wk: jax.Array
-    wv: jax.Array
+    wqkv: jax.Array
     q_norm: jax.Array
     k_norm: jax.Array
     wo: jax.Array
     post_norm: jax.Array
-    w_gate: jax.Array
-    w_up: jax.Array
+    w_gate_up: jax.Array
     w_down: jax.Array
 
 
@@ -157,9 +154,11 @@ def _layer_forward(
     h_q, h_kv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
 
     normed = rms_norm(x, lw.input_norm, cfg.rms_eps)
-    q = _matmul(normed, lw.wq).reshape(T, h_q, d)
-    k = _matmul(normed, lw.wk).reshape(T, h_kv, d)
-    v = _matmul(normed, lw.wv).reshape(T, h_kv, d)
+    qkv = _matmul(normed, lw.wqkv)                 # [T, Q+2KV]
+    Q, KV = cfg.q_size, cfg.kv_size
+    q = qkv[:, :Q].reshape(T, h_q, d)
+    k = qkv[:, Q:Q + KV].reshape(T, h_kv, d)
+    v = qkv[:, Q + KV:].reshape(T, h_kv, d)
 
     # Per-head QK-RMSNorm then RoPE (reference: kernel.cu:364-400)
     q = rms_norm(q, lw.q_norm, cfg.rms_eps)
@@ -181,8 +180,8 @@ def _layer_forward(
     x = x + _matmul(attn.astype(jnp.bfloat16), lw.wo)
 
     normed2 = rms_norm(x, lw.post_norm, cfg.rms_eps)
-    gate = _matmul(normed2, lw.w_gate)
-    up = _matmul(normed2, lw.w_up)
+    gate_up = _matmul(normed2, lw.w_gate_up)              # [T, 2I]
+    gate, up = gate_up[:, :cfg.intermediate_size], gate_up[:, cfg.intermediate_size:]
     mlp = jax.nn.silu(gate) * up                          # SwiGLU (kernel.cu:771-821)
     x = x + _matmul(mlp.astype(jnp.bfloat16), lw.w_down)
 

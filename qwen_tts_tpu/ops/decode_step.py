@@ -41,15 +41,12 @@ def _megakernel(
     pos_ref,          # SMEM [1] int32 — #old cache entries
     # per-layer streamed weights (block = one layer's slab)
     in_norm_ref,      # [1, 1, H]
-    wq_ref,           # [1, H, Q]
-    wk_ref,           # [1, H, KV]
-    wv_ref,           # [1, H, KV]
+    wqkv_ref,         # [1, H, Q+2KV]
     q_norm_ref,       # [1, 1, D]
     k_norm_ref,       # [1, 1, D]
     wo_ref,           # [1, Q, H]
     post_norm_ref,    # [1, 1, H]
-    w_gate_ref,       # [1, H, I]
-    w_up_ref,         # [1, H, I]
+    w_gate_up_ref,    # [1, H, 2I]
     w_down_ref,       # [1, I, H]
     # constants (fetched once)
     final_norm_ref,   # [1, H]
@@ -86,6 +83,24 @@ def _megakernel(
     def _():
         x_ref[:] = embed_ref[:]
 
+    # Kick off the first attention-cache chunk DMA immediately — it depends
+    # only on (layer, position), so it overlaps the QKV matvecs below.
+    n_old = pos_ref[0]
+    n_chunks = pl.cdiv(n_old, C)
+
+    def k_dma(slot, ci):
+        return pltpu.make_async_copy(
+            k_hbm.at[li, :, pl.ds(ci * C, C), :], k_buf.at[slot], sems.at[slot, 0])
+
+    def v_dma(slot, ci):
+        return pltpu.make_async_copy(
+            v_hbm.at[li, :, pl.ds(ci * C, C), :], v_buf.at[slot], sems.at[slot, 1])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        k_dma(0, 0).start()
+        v_dma(0, 0).start()
+
     def rms(v, w_row):
         var = jnp.mean(v * v, axis=-1, keepdims=True)
         return v * jax.lax.rsqrt(var + eps) * w_row.astype(jnp.float32)
@@ -99,9 +114,11 @@ def _megakernel(
             a, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    q = mm(normed_bf, wq_ref[0]).reshape(HQ, D)    # [16, 128] f32
-    k = mm(normed_bf, wk_ref[0]).reshape(KVH, D)   # [8, 128]
-    v = mm(normed_bf, wv_ref[0]).reshape(KVH, D)
+    I = cfg.intermediate_size
+    qkv = mm(normed_bf, wqkv_ref[0])               # [1, Q+2KV] f32
+    q = qkv[:, :Q].reshape(HQ, D)                  # [16, 128]
+    k = qkv[:, Q:Q + KV].reshape(KVH, D)           # [8, 128]
+    v = qkv[:, Q + KV:].reshape(KVH, D)
 
     # Per-head QK-RMSNorm (kernel.cu:364-400)
     q = rms(q, q_norm_ref[0])
@@ -124,22 +141,7 @@ def _megakernel(
     v_new_ref[0, :, 0, :] = v.astype(v_new_ref.dtype)
 
     # ── chunked online-softmax attention over the old cache prefix ──
-    n_old = pos_ref[0]
-    n_chunks = pl.cdiv(n_old, C)
-
-    def k_dma(slot, ci):
-        return pltpu.make_async_copy(
-            k_hbm.at[li, :, pl.ds(ci * C, C), :], k_buf.at[slot], sems.at[slot, 0])
-
-    def v_dma(slot, ci):
-        return pltpu.make_async_copy(
-            v_hbm.at[li, :, pl.ds(ci * C, C), :], v_buf.at[slot], sems.at[slot, 1])
-
-    @pl.when(n_chunks > 0)
-    def _():
-        k_dma(0, 0).start()
-        v_dma(0, 0).start()
-
+    # (first chunk's DMA was started at the top of the kernel)
     def body(ci, carry):
         m, l, acc = carry
         slot = jax.lax.rem(ci, 2)
@@ -206,8 +208,8 @@ def _megakernel(
 
     # Post-norm + SwiGLU MLP + residual (kernel.cu:651-867)
     normed2_bf = rms(x, post_norm_ref[0]).astype(jnp.bfloat16)
-    gate = mm(normed2_bf, w_gate_ref[0])
-    up = mm(normed2_bf, w_up_ref[0])
+    gate_up = mm(normed2_bf, w_gate_up_ref[0])      # [1, 2I]
+    gate, up = gate_up[:, :I], gate_up[:, I:]
     mlp = (gate * jax.lax.logistic(gate)) * up      # SiLU(gate) · up, f32
     x = x + mm(mlp.astype(jnp.bfloat16), w_down_ref[0])
     x_ref[:] = x
@@ -269,15 +271,12 @@ def megakernel_forward(
     in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),   # position
             _layer_spec((L, 1, H)),
-            _layer_spec(lw.wq.shape),
-            _layer_spec(lw.wk.shape),
-            _layer_spec(lw.wv.shape),
+            _layer_spec(lw.wqkv.shape),
             _layer_spec((L, 1, D)),
             _layer_spec((L, 1, D)),
             _layer_spec(lw.wo.shape),
             _layer_spec((L, 1, H)),
-            _layer_spec(lw.w_gate.shape),
-            _layer_spec(lw.w_up.shape),
+            _layer_spec(lw.w_gate_up.shape),
             _layer_spec(lw.w_down.shape),
             _const_spec((1, H)),            # final_norm
             _const_spec((H, V)),            # lm_head
@@ -305,9 +304,9 @@ def megakernel_forward(
         ),
     )(
         jnp.asarray(pos, jnp.int32).reshape(1),
-        lw.input_norm[:, None, :], lw.wq, lw.wk, lw.wv,
+        lw.input_norm[:, None, :], lw.wqkv,
         lw.q_norm[:, None, :], lw.k_norm[:, None, :],
-        lw.wo, lw.post_norm[:, None, :], lw.w_gate, lw.w_up, lw.w_down,
+        lw.wo, lw.post_norm[:, None, :], lw.w_gate_up, lw.w_down,
         w.final_norm[None, :], w.lm_head,
         embed.astype(jnp.float32)[None, :], cos, sin,
         state.k_cache, state.v_cache,

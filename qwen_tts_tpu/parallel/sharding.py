@@ -29,16 +29,13 @@ def layer_weight_specs() -> LayerWeights:
     """PartitionSpecs for the stacked per-layer weights."""
     return LayerWeights(
         input_norm=P(),
-        wq=P(None, None, "tp"),      # [L, H, Q]  — shard Q (head) dim
-        wk=P(None, None, "tp"),      # [L, H, KV]
-        wv=P(None, None, "tp"),      # [L, H, KV]
+        wqkv=P(None, None, "tp"),       # [L, H, Q+2KV] — fused out dim
         q_norm=P(),
         k_norm=P(),
-        wo=P(None, "tp", None),      # [L, Q, H]  — contract over sharded Q
+        wo=P(None, "tp", None),         # [L, Q, H]  — contract over sharded Q
         post_norm=P(),
-        w_gate=P(None, None, "tp"),  # [L, H, I]
-        w_up=P(None, None, "tp"),
-        w_down=P(None, "tp", None),  # [L, I, H]
+        w_gate_up=P(None, None, "tp"),  # [L, H, 2I]
+        w_down=P(None, "tp", None),     # [L, I, H]
     )
 
 
