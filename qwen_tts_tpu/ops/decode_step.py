@@ -64,12 +64,16 @@ def _megakernel(
     logits_ref,       # [1, V] f32 (written on last step)
     # scratch
     x_ref,            # VMEM [1, H] f32 — residual stream, persists across grid
-    k_buf,            # VMEM [2, KVH, C, D] bf16
+    k_pre,            # VMEM [2, P, KVH, C, D] bf16 — cross-step prefetched chunks
+    v_pre,            # VMEM [2, P, KVH, C, D] bf16
+    pre_sems,         # DMA (2, P, 2)
+    k_buf,            # VMEM [2, KVH, C, D] bf16 — streaming fallback (ci >= P)
     v_buf,            # VMEM [2, KVH, C, D] bf16
     sems,             # DMA (2, 2)
     *,
     cfg: DecoderConfig,
     chunk: int,
+    prefetch_chunks: int,
 ):
     li = pl.program_id(0)
     L = pl.num_programs(0)
@@ -83,23 +87,48 @@ def _megakernel(
     def _():
         x_ref[:] = embed_ref[:]
 
-    # Kick off the first attention-cache chunk DMA immediately — it depends
-    # only on (layer, position), so it overlaps the QKV matvecs below.
+    # Attention-cache chunk DMAs are prefetched ACROSS grid steps: the first
+    # `P = prefetch_chunks` chunks of layer l+1 are started at the END of
+    # layer l, so their waits never queue behind the ~30 MB weight-slab DMA
+    # that the Pallas pipeline issues at the next grid-step boundary (the
+    # dominant stall when chunk DMAs are issued in-loop). Layer parity picks
+    # the prefetch buffer half; chunks beyond P (long contexts) fall back to
+    # a double-buffered in-loop stream.
     n_old = pos_ref[0]
     n_chunks = pl.cdiv(n_old, C)
+    P = prefetch_chunks
+    par = jax.lax.rem(li, 2)
 
-    def k_dma(slot, ci):
+    def k_pre_dma(layer, parity, ci):
         return pltpu.make_async_copy(
-            k_hbm.at[li, :, pl.ds(ci * C, C), :], k_buf.at[slot], sems.at[slot, 0])
+            k_hbm.at[layer, :, pl.ds(ci * C, C), :], k_pre.at[parity, ci],
+            pre_sems.at[parity, ci, 0])
 
-    def v_dma(slot, ci):
+    def v_pre_dma(layer, parity, ci):
         return pltpu.make_async_copy(
-            v_hbm.at[li, :, pl.ds(ci * C, C), :], v_buf.at[slot], sems.at[slot, 1])
+            v_hbm.at[layer, :, pl.ds(ci * C, C), :], v_pre.at[parity, ci],
+            pre_sems.at[parity, ci, 1])
 
-    @pl.when(n_chunks > 0)
+    def k_dma(layer, slot, ci):
+        return pltpu.make_async_copy(
+            k_hbm.at[layer, :, pl.ds(ci * C, C), :], k_buf.at[slot],
+            sems.at[slot, 0])
+
+    def v_dma(layer, slot, ci):
+        return pltpu.make_async_copy(
+            v_hbm.at[layer, :, pl.ds(ci * C, C), :], v_buf.at[slot],
+            sems.at[slot, 1])
+
+    def start_prefetch(layer, parity):
+        for ci in range(P):
+            @pl.when(ci < n_chunks)
+            def _():
+                k_pre_dma(layer, parity, ci).start()
+                v_pre_dma(layer, parity, ci).start()
+
+    @pl.when(li == 0)
     def _():
-        k_dma(0, 0).start()
-        v_dma(0, 0).start()
+        start_prefetch(0, 0)
 
     def rms(v, w_row):
         var = jnp.mean(v * v, axis=-1, keepdims=True)
@@ -142,25 +171,15 @@ def _megakernel(
 
     # ── chunked online-softmax attention over the old cache prefix ──
     # (first chunk's DMA was started at the top of the kernel)
-    def body(ci, carry):
+    def _accumulate(kh_all, vh_all, ci, carry):
+        """One chunk's online-softmax update from VMEM tiles [KVH, C, D]."""
         m, l, acc = carry
-        slot = jax.lax.rem(ci, 2)
-        nxt = jax.lax.rem(ci + 1, 2)
-
-        @pl.when(ci + 1 < n_chunks)
-        def _():
-            k_dma(nxt, ci + 1).start()
-            v_dma(nxt, ci + 1).start()
-
-        k_dma(slot, ci).wait()
-        v_dma(slot, ci).wait()
-
         col = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) + ci * C
         valid = col < n_old
 
         s_rows = []
         for h in range(KVH):
-            kh = k_buf[slot, h].astype(jnp.float32)          # [C, D]
+            kh = kh_all[h].astype(jnp.float32)               # [C, D]
             qh = q[h * G:(h + 1) * G]
             s_rows.append(jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
@@ -174,7 +193,7 @@ def _megakernel(
 
         pv_rows = []
         for h in range(KVH):
-            vh = v_buf[slot, h].astype(jnp.float32)
+            vh = vh_all[h].astype(jnp.float32)
             ph = p[h * G:(h + 1) * G]
             pv_rows.append(jax.lax.dot_general(
                 ph, vh, (((1,), (0,)), ((), ())),
@@ -185,7 +204,46 @@ def _megakernel(
     m0 = jnp.full((HQ, 1), -jnp.inf, dtype=jnp.float32)
     l0 = jnp.zeros((HQ, 1), dtype=jnp.float32)
     acc0 = jnp.zeros((HQ, D), dtype=jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+    carry = (m0, l0, acc0)
+
+    # Phase 1: prefetched chunks (static unroll, guarded)
+    for ci in range(P):
+        @pl.when(ci < n_chunks)
+        def _():
+            k_pre_dma(li, par, ci).wait()
+            v_pre_dma(li, par, ci).wait()
+
+    def pre_body(ci, carry):
+        return _accumulate(k_pre[par, ci], v_pre[par, ci], ci, carry)
+
+    carry = jax.lax.fori_loop(0, jnp.minimum(n_chunks, P), pre_body, carry)
+
+    # Phase 2: streaming fallback for long contexts (ci >= P). Emitted only
+    # when the cache can actually hold more than P chunks (static check —
+    # a concrete out-of-range pl.ds start would fail trace-time validation).
+    S_total = k_hbm.shape[2]
+    if P * C < S_total:
+        @pl.when(n_chunks > P)
+        def _():
+            k_dma(li, jax.lax.rem(P, 2), P).start()
+            v_dma(li, jax.lax.rem(P, 2), P).start()
+
+        def stream_body(ci, carry):
+            slot = jax.lax.rem(ci, 2)
+            nxt = jax.lax.rem(ci + 1, 2)
+
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                k_dma(li, nxt, ci + 1).start()
+                v_dma(li, nxt, ci + 1).start()
+
+            k_dma(li, slot, ci).wait()
+            v_dma(li, slot, ci).wait()
+            return _accumulate(k_buf[slot], v_buf[slot], ci, carry)
+
+        carry = jax.lax.fori_loop(
+            P, jnp.maximum(n_chunks, P), stream_body, carry)
+    m, l, acc = carry
 
     # Merge the in-flight token as a virtual final column
     s_rows = []
@@ -214,6 +272,12 @@ def _megakernel(
     x = x + mm(mlp.astype(jnp.bfloat16), w_down_ref[0])
     x_ref[:] = x
 
+    # Cross-step prefetch: start layer li+1's first P cache chunks now,
+    # while the pipeline fetches its weight slab.
+    @pl.when(li + 1 < L)
+    def _():
+        start_prefetch(li + 1, jax.lax.rem(li + 1, 2))
+
     # Final RMSNorm + fused LM head (kernel.cu:1276-1314, 1022-1185)
     @pl.when(li == L - 1)
     def _():
@@ -235,13 +299,14 @@ def _layer_spec(shape):
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "chunk"))
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk", "prefetch_chunks"))
 def megakernel_forward(
     cfg: DecoderConfig,
     w: DecoderWeights,
     state: DecodeState,
     embed: jax.Array,        # [H] any float dtype
     chunk: int = 256,
+    prefetch_chunks: int = 4,
 ):
     """One fused decode step. Returns (new_state, logits [V] f32, normed [H] f32)."""
     L, H, Q, KV = cfg.num_layers, cfg.hidden_size, cfg.q_size, cfg.kv_size
@@ -253,7 +318,9 @@ def megakernel_forward(
     cos = jax.lax.dynamic_slice_in_dim(w.rope.cos, pos, 1, axis=0)  # [1, D//2]
     sin = jax.lax.dynamic_slice_in_dim(w.rope.sin, pos, 1, axis=0)
 
-    kernel = functools.partial(_megakernel, cfg=cfg, chunk=C)
+    P = max(1, min(prefetch_chunks, -(-S // C)))
+    kernel = functools.partial(_megakernel, cfg=cfg, chunk=C,
+                               prefetch_chunks=P)
     lw = w.layers
 
     out_shapes = (
@@ -295,6 +362,9 @@ def megakernel_forward(
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((1, H), jnp.float32),
+            pltpu.VMEM((2, P, KVH, C, D), state.k_cache.dtype),
+            pltpu.VMEM((2, P, KVH, C, D), state.v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, P, 2)),
             pltpu.VMEM((2, KVH, C, D), state.k_cache.dtype),
             pltpu.VMEM((2, KVH, C, D), state.v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),

@@ -1,0 +1,41 @@
+"""Text-LM family on the shared decoder core (tiny config, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen_tts_tpu.core.config import DecoderConfig
+from qwen_tts_tpu.core.weights import init_decoder_weights
+from qwen_tts_tpu.models.text_lm import TextLM
+
+TINY_LM = DecoderConfig(
+    num_layers=2, hidden_size=256, intermediate_size=512,
+    num_q_heads=4, num_kv_heads=2, head_dim=128,
+    vocab_size=1024, max_seq_len=128, rope_theta=10000.0)
+
+
+def test_generate_shapes_and_determinism():
+    w = init_decoder_weights(jax.random.PRNGKey(0), TINY_LM)
+    lm = TextLM(w, TINY_LM)
+    out1 = lm.generate([1, 2, 3, 4], max_new_tokens=8)
+    out2 = lm.generate([1, 2, 3, 4], max_new_tokens=8)
+    assert len(out1) == 8
+    assert out1 == out2
+    assert all(0 <= t < TINY_LM.vocab_size for t in out1)
+
+
+def test_tied_embeddings_convention():
+    """Text LM ties lm_head = embed.T (reference: model.py:92)."""
+    w = init_decoder_weights(jax.random.PRNGKey(0), TINY_LM)
+    w = w._replace(lm_head=w.embed.T)
+    lm = TextLM(w, TINY_LM)
+    out = lm.generate([5, 6], max_new_tokens=4)
+    assert len(out) == 4
+
+
+def test_prompt_affects_output():
+    w = init_decoder_weights(jax.random.PRNGKey(0), TINY_LM)
+    lm = TextLM(w, TINY_LM)
+    a = lm.generate([1, 2, 3], max_new_tokens=6)
+    b = lm.generate([9, 8, 7], max_new_tokens=6)
+    assert a != b
