@@ -30,8 +30,8 @@ def main():
     p.add_argument("--max-seq", type=int, default=8192)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--repeats", type=int, default=3)
-    p.add_argument("--backend", default="mega",
-                   choices=["mega", "pallas", "dense"])
+    p.add_argument("--backend", default="megagen",
+                   choices=["megagen", "mega", "pallas", "dense"])
     args = p.parse_args()
 
     from qwen_tts_tpu.core.config import CODEC_BOS, DecoderConfig
@@ -41,17 +41,27 @@ def main():
 
     cfg = DecoderConfig(max_seq_len=args.max_seq)
     w = init_decoder_weights(jax.random.PRNGKey(0), cfg)
-    attn_impl = args.backend
 
     import numpy as np
 
-    def run():
-        state = init_state(cfg)
-        state, tokens = generate_tokens(
-            cfg, w, state, jnp.int32(CODEC_BOS), args.steps, attn_impl=attn_impl)
-        # NOTE: on the experimental tunneled-TPU platform block_until_ready
-        # returns early; a host transfer is the only honest sync barrier.
-        return np.asarray(tokens)
+    if args.backend == "megagen":
+        from qwen_tts_tpu.ops.generate_kernel import generate_megakernel
+
+        def run():
+            state = init_state(cfg)
+            state, tokens = generate_megakernel(
+                cfg, w, state, jnp.int32(CODEC_BOS), args.steps)
+            # host transfer = the only honest sync on this platform
+            return np.asarray(tokens)
+    else:
+        attn_impl = args.backend
+
+        def run():
+            state = init_state(cfg)
+            state, tokens = generate_tokens(
+                cfg, w, state, jnp.int32(CODEC_BOS), args.steps,
+                attn_impl=attn_impl)
+            return np.asarray(tokens)
 
     for _ in range(args.warmup):
         run()

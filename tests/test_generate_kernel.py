@@ -1,0 +1,82 @@
+"""N-step generate megakernel vs oracle scan (interpret mode, CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen_tts_tpu.core.config import DecoderConfig
+from qwen_tts_tpu.core.weights import init_decoder_weights
+from qwen_tts_tpu.models.decoder import decode_step, init_state
+
+CFG = DecoderConfig(
+    num_layers=3, hidden_size=256, intermediate_size=512,
+    num_q_heads=4, num_kv_heads=2, head_dim=128,
+    vocab_size=512, max_seq_len=128)
+
+
+@pytest.fixture(scope="module")
+def w():
+    return init_decoder_weights(jax.random.PRNGKey(4), CFG)
+
+
+def _gen_interpret(w, state, first_token, n):
+    import jax.experimental.pallas as pl
+    from qwen_tts_tpu.ops import generate_kernel as gk
+
+    orig = pl.pallas_call
+    try:
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        return gk.generate_megakernel.__wrapped__(
+            CFG, w, state, first_token, n, chunk=64, copy_cache_in=True)
+    finally:
+        pl.pallas_call = orig
+
+
+def test_generate_matches_oracle(w):
+    n = 12
+    first = jnp.int32(7)
+
+    state_o = init_state(CFG)
+    tok = first
+    oracle_tokens = []
+    for _ in range(n):
+        state_o, tok, _ = decode_step(CFG, w, state_o, tok)
+        oracle_tokens.append(int(tok))
+
+    state_m = init_state(CFG)
+    state_m, tokens = _gen_interpret(w, state_m, first, n)
+    got = [int(t) for t in np.asarray(tokens)]
+
+    matches = sum(a == b for a, b in zip(oracle_tokens, got))
+    assert matches >= n - 1, f"oracle {oracle_tokens} vs kernel {got}"
+    assert int(state_m.position) == n
+
+    # cache contents must match the oracle's where written
+    ka = np.asarray(state_o.k_cache[:, :, :n].astype(jnp.float32))
+    kb = np.asarray(state_m.k_cache[:, :, :n].astype(jnp.float32))
+    np.testing.assert_allclose(ka, kb, rtol=3e-2, atol=3e-2)
+
+
+def test_generate_continues_from_position(w):
+    """Start generation from a warm cache (position > 0)."""
+    state = init_state(CFG)
+    tok = jnp.int32(3)
+    for _ in range(5):
+        state, tok, _ = decode_step(CFG, w, state, tok)
+
+    state_o = state
+    state_m = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x, state)
+
+    tok_o = tok
+    oracle_tokens = []
+    for _ in range(6):
+        state_o, tok_o, _ = decode_step(CFG, w, state_o, tok_o)
+        oracle_tokens.append(int(tok_o))
+
+    state_m, tokens = _gen_interpret(w, state_m, tok, 6)
+    got = [int(t) for t in np.asarray(tokens)]
+    matches = sum(a == b for a, b in zip(oracle_tokens, got))
+    assert matches >= 5, f"oracle {oracle_tokens} vs kernel {got}"
