@@ -59,31 +59,28 @@ def main():
     print(f"streaming TTFC: {best * 1000:.1f} ms (first chunk = {nsamp} samples) "
           f"({'PASS' if best * 1000 < 90 else 'FAIL'} vs 90 ms)")
 
-    # phase split (each phase sync-bracketed, so phases include one RTT each)
-    mc = eng.model_config
+    # phase split: host tokenization vs the single fused device dispatch
+    from qwen_tts_tpu.engine.tokenizer import encode_tts_prompt
+
     phases = {}
     t = time.perf_counter()
-    prefill_embeds, trailing, t_len = eng._build_prefill(args.text)
-    sync(prefill_embeds)
-    phases["tokenize+embed+project"] = time.perf_counter() - t
+    text_ids = encode_tts_prompt(eng.tokenizer, args.text)
+    content = np.asarray(text_ids[3:], dtype=np.int32)
+    phases["tokenize (host)"] = time.perf_counter() - t
 
+    bucket = eng.config.trailing_bucket
+    Tpad = max(((len(content) + bucket - 1) // bucket) * bucket, bucket)
+    ids = np.zeros(Tpad, dtype=np.int32)
+    ids[:len(content)] = content
     t = time.perf_counter()
-    state, token, hidden = talker_prefill(
-        mc.talker, eng.weights.talker, init_state(mc.talker), prefill_embeds,
-        attn_impl=eng._attn_impl)
-    sync(token)
-    phases["prefill(8)+first decode"] = time.perf_counter() - t
-
-    t = time.perf_counter()
-    out = eng._chunk_audio_fn(state, token, hidden, trailing,
-                              jnp.int32(t_len), jnp.int32(0),
-                              jax.random.PRNGKey(0), 1)
-    np.asarray(out[-1])
-    phases["first frame+vocoder (fused)"] = time.perf_counter() - t
+    out = eng._first_audio_fn(jnp.asarray(ids), jnp.int32(len(content)),
+                              jax.random.PRNGKey(0))
+    np.asarray(out[5])
+    phases["fused text→first audio (1 dispatch)"] = time.perf_counter() - t
 
     for k, v in phases.items():
-        print(f"  {k:28s} {v * 1000:7.1f} ms")
-    print(f"  {'sum of phases':28s} {sum(phases.values()) * 1000:7.1f} ms")
+        print(f"  {k:38s} {v * 1000:7.1f} ms")
+    print(f"  {'sum of phases':38s} {sum(phases.values()) * 1000:7.1f} ms")
 
 
 if __name__ == "__main__":

@@ -183,6 +183,61 @@ class TTSEngine:
 
         self._chunk_audio_fn = call
 
+        # ── cold-path fusion: tokenized ids → FIRST audio chunk, one dispatch
+        # (text projection + conditioning prefix + batched prefill + first
+        # decode + first frame + vocoder). This is the whole TTFC path after
+        # host tokenization; it also emits the padded trailing-text embeds
+        # reused by every subsequent chunk dispatch.
+        from ..core.config import CODEC_BOS
+        from ..models.decoder import forward_chunk, decode_step_with_embed
+
+        def first_fn(tw, cw, vw, tp_w, role_embeds, fused_tags,
+                     codec_bos_embed, tts_eos, tts_pad,
+                     content_ids, n_content, rng):
+            content_embeds = embed_text_ids(tp_w, content_ids)   # [Tpad, H]
+            first_text_bos = content_embeds[:1] + codec_bos_embed[None]
+            prefill_embeds = jnp.concatenate(
+                [role_embeds, fused_tags, first_text_bos])       # [8, H]
+
+            # trailing[i] = content[i+1] for i < n-6; tts_eos at i == n-6
+            Tpad = content_ids.shape[0]
+            idx = jnp.arange(Tpad)[:, None]
+            shifted = jnp.roll(content_embeds, -1, axis=0)
+            trailing = jnp.where(
+                idx < n_content - 6, shifted,
+                jnp.where(idx == n_content - 6, tts_eos[None],
+                          jnp.zeros_like(shifted)))
+            t_len = jnp.maximum(n_content - 5, 1).astype(jnp.int32)
+
+            state = init_state(mc.talker)
+            state, _ = forward_chunk(mc.talker, tw, state, prefill_embeds,
+                                     attn_impl=attn_impl)
+            state, tok, hid = decode_step_with_embed(
+                mc.talker, tw, state, tw.embed[CODEC_BOS], attn_impl=attn_impl)
+            state, codes, valid, tok, hid = frames_chunk(
+                mc.talker, mc.code_predictor, tw, cw, state, tok, hid,
+                trailing, t_len, jnp.int32(0), tts_pad, rng, num_frames=1,
+                do_sample=cfg.subtalker_do_sample,
+                temperature=cfg.subtalker_temperature,
+                top_k=cfg.subtalker_top_k, attn_impl=attn_impl)
+            if has_vocoder:
+                audio = vocoder_decode(vc, vw, codes)
+            else:
+                audio = jnp.zeros((codes.shape[0] * vc.hop_length,), jnp.float32)
+            return state, codes, valid, tok, hid, audio, trailing, t_len
+
+        first_jitted = jax.jit(first_fn)
+
+        def first_call(content_ids, n_content, rng):
+            return first_jitted(
+                self.weights.talker, self.weights.code_predictor,
+                self.vocoder_weights, self.weights.text_projection,
+                self._role_embeds, self._fused_tags, self._codec_bos_embed,
+                self._tts_eos_embed, self._tts_pad_embed,
+                content_ids, n_content, rng)
+
+        self._first_audio_fn = first_call
+
     def _load_vocoder(self):
         cfg = self.config
         self.vocoder_config = VocoderConfig(sample_rate=cfg.sample_rate)
@@ -212,6 +267,11 @@ class TTSEngine:
         trailing = jnp.zeros((cfg.trailing_bucket, h), dtype=jnp.bfloat16)
         do_sample = cfg.subtalker_do_sample
         if self._fused_chunks:
+            # warm the fused cold path (tokenize→first chunk, bucket-sized)
+            dummy_ids = jnp.zeros((cfg.trailing_bucket,), dtype=jnp.int32)
+            state, codes, valid, token, hidden, audio, trailing, t_len = \
+                self._first_audio_fn(dummy_ids, jnp.int32(10),
+                                     jax.random.PRNGKey(0))
             for n in (1, cfg.chunk_frames):
                 state, codes, valid, token, hidden, audio = \
                     self._chunk_audio_fn(
@@ -334,10 +394,14 @@ class TTSEngine:
         cfg, mc = self.config, self.model_config
         hop = self.vocoder_config.hop_length
 
-        prefill_embeds, trailing, trailing_len = self._build_prefill(text)
-        state, prev_token, hidden = talker_prefill(
-            mc.talker, self.weights.talker, init_state(mc.talker),
-            prefill_embeds, attn_impl=self._attn_impl)
+        # Host tokenization only; everything from text projection to the
+        # first audio chunk is ONE fused dispatch (the TTFC path).
+        text_ids = encode_tts_prompt(self.tokenizer, text)
+        content = np.asarray(text_ids[3:], dtype=np.int32)
+        bucket = cfg.trailing_bucket
+        Tpad = max(((len(content) + bucket - 1) // bucket) * bucket, bucket)
+        content_ids = np.zeros(Tpad, dtype=np.int32)
+        content_ids[:len(content)] = content
 
         word_count = max(len(text.split()), 1)
         max_frames = max(int(word_count / 2.5 * 12.5 * 2.0), 25)
@@ -345,18 +409,22 @@ class TTSEngine:
 
         self._rng, loop_rng = jax.random.split(self._rng)
         q: deque = deque()
-        planned = 0
+
+        state, codes, valid, prev_token, hidden, audio, trailing, t_len = \
+            self._first_audio_fn(jnp.asarray(content_ids),
+                                 jnp.int32(len(content)), loop_rng)
+        q.append((codes, valid, audio, 1, 0))
+        planned = 1
 
         def enqueue(n):
             nonlocal state, prev_token, hidden, planned
             state, codes, valid, prev_token, hidden, audio = \
                 self._chunk_audio_fn(
                     state, prev_token, hidden, trailing,
-                    jnp.int32(trailing_len), jnp.int32(planned), loop_rng, n)
+                    t_len, jnp.int32(planned), loop_rng, n)
             q.append((codes, valid, audio, n, planned))
             planned += n
 
-        enqueue(1)                                   # first chunk: fast TTFC
         if planned < max_frames:
             enqueue(chunk_size)                      # depth-1 speculation
 
