@@ -72,9 +72,10 @@ def main():
     Tpad = max(((len(content) + bucket - 1) // bucket) * bucket, bucket)
     ids = np.zeros(Tpad, dtype=np.int32)
     ids[:len(content)] = content
+    key = jax.device_put(jax.random.PRNGKey(0))
     t = time.perf_counter()
-    out = eng._first_audio_fn(jnp.asarray(ids), jnp.int32(len(content)),
-                              jax.random.PRNGKey(0))
+    ids_dev, n_dev = jax.device_put((ids, np.int32(len(content))))
+    out = eng._first_audio_fn(ids_dev, n_dev, key)
     np.asarray(out[5])
     phases["fused text→first audio (1 dispatch)"] = time.perf_counter() - t
 

@@ -410,9 +410,12 @@ class TTSEngine:
         self._rng, loop_rng = jax.random.split(self._rng)
         q: deque = deque()
 
+        # one batched host→device upload (separate uploads each pay a full
+        # round trip on high-latency links)
+        ids_dev, n_dev = jax.device_put(
+            (content_ids, np.int32(len(content))))
         state, codes, valid, prev_token, hidden, audio, trailing, t_len = \
-            self._first_audio_fn(jnp.asarray(content_ids),
-                                 jnp.int32(len(content)), loop_rng)
+            self._first_audio_fn(ids_dev, n_dev, loop_rng)
         q.append((codes, valid, audio, 1, 0))
         planned = 1
 
