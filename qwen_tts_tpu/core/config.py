@@ -11,6 +11,24 @@ same code.
 from __future__ import annotations
 
 import dataclasses
+import os
+
+
+def env_int(name: str, default: int) -> int:
+    """Environment-overridable tuning knob — the TPU analog of the
+    reference's `-DLDG_*` compile flags with `_env_int` overrides
+    (reference: build_tts.py:17-43, build.py:12-35). All knobs use the
+    `QWEN_TTS_TPU_` prefix, e.g. QWEN_TTS_TPU_ATTN_CHUNK=512."""
+    try:
+        return int(os.environ.get(f"QWEN_TTS_TPU_{name}", default))
+    except ValueError:
+        return default
+
+
+# Kernel tuning knobs (read once at import, like the reference's -D flags)
+ATTN_CHUNK = env_int("ATTN_CHUNK", 256)          # cache-chunk DMA size
+PREFETCH_CHUNKS = env_int("PREFETCH_CHUNKS", 4)  # cross-step prefetched chunks
+VMEM_LIMIT_MB = env_int("VMEM_LIMIT_MB", 116)    # Mosaic VMEM budget
 
 
 @dataclasses.dataclass(frozen=True)

@@ -292,7 +292,13 @@ class TTSEngine:
             )
             np.asarray(r.codes)
         if self.vocoder_weights is not None:
-            for n in (1, cfg.chunk_frames):
+            # warm every vocoder shape bucket up to ~25s of audio
+            sizes = [1, cfg.chunk_frames]
+            b = cfg.chunk_frames
+            while b < 320:
+                b *= 2
+                sizes.append(b)
+            for n in sizes:
                 dummy = jnp.zeros((n, mc.num_code_groups), dtype=jnp.int32)
                 np.asarray(self._vocoder_fn(self.vocoder_weights, dummy))
         # fresh state for real use
@@ -304,7 +310,14 @@ class TTSEngine:
         """Non-streaming synthesis → (waveform f32, sample_rate)
         (reference: tts_engine.py:211-218)."""
         self.initialize()
-        if self._fused_chunks:
+        if self._fused_chunks and self.vocoder_weights is not None:
+            # ride the warmed streaming signatures; per-chunk audio is
+            # discarded and the waveform is decoded ONCE over all frames —
+            # the reference's non-streaming semantics (tts_engine.py:211-218)
+            frames = [f for _audio, fr in
+                      self._generate_audio_chunks(text, self.config.chunk_frames)
+                      for f in fr]
+        elif self._fused_chunks:
             frames = [f for chunk in self._generate_codec_chunks(
                 text, first_chunk=self.config.chunk_frames) for f in chunk]
         else:
@@ -555,8 +568,7 @@ class TTSEngine:
         if not frames:
             return np.array([], dtype=np.float32), self.sample_rate
         T = len(frames)
-        cf = self.config.chunk_frames
-        bucket = 1 if T == 1 else ((T + cf - 1) // cf) * cf
+        bucket = self._vocoder_bucket(T)
         codes = np.zeros((bucket, len(frames[0])), dtype=np.int32)
         codes[:T] = np.stack(frames)
         codes = jnp.asarray(codes)
@@ -567,6 +579,17 @@ class TTSEngine:
         duration_sec = len(frames) / self.model_config.frame_rate_hz
         return (np.zeros(int(duration_sec * self.sample_rate), dtype=np.float32),
                 self.sample_rate)
+
+    def _vocoder_bucket(self, T: int) -> int:
+        """Geometric shape buckets (all pre-warmed) so the jitted vocoder
+        never compiles mid-request; output is sliced to the exact length."""
+        cf = self.config.chunk_frames
+        if T == 1:
+            return 1
+        b = cf
+        while b < T:
+            b *= 2
+        return b
 
     def get_metrics(self) -> dict:
         return {

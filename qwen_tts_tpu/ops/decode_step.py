@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.config import DecoderConfig
+from ..core.config import ATTN_CHUNK, DecoderConfig, PREFETCH_CHUNKS, VMEM_LIMIT_MB
 from ..core.weights import DecoderWeights
 from ..models.decoder import DecodeState
 
@@ -305,8 +305,8 @@ def megakernel_forward(
     w: DecoderWeights,
     state: DecodeState,
     embed: jax.Array,        # [H] any float dtype
-    chunk: int = 256,
-    prefetch_chunks: int = 4,
+    chunk: int = ATTN_CHUNK,
+    prefetch_chunks: int = PREFETCH_CHUNKS,
 ):
     """One fused decode step. Returns (new_state, logits [V] f32, normed [H] f32)."""
     L, H, Q, KV = cfg.num_layers, cfg.hidden_size, cfg.q_size, cfg.kv_size
@@ -370,7 +370,7 @@ def megakernel_forward(
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=116 * 1024 * 1024,
+            vmem_limit_bytes=VMEM_LIMIT_MB * 1024 * 1024,
         ),
     )(
         jnp.asarray(pos, jnp.int32).reshape(1),

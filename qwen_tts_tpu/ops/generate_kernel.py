@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.config import DecoderConfig
+from ..core.config import ATTN_CHUNK, DecoderConfig, PREFETCH_CHUNKS, VMEM_LIMIT_MB
 from ..core.weights import DecoderWeights
 from ..models.decoder import DecodeState
 
@@ -386,8 +386,8 @@ def generate_megakernel(
     state: DecodeState,
     first_token: jax.Array,     # int32
     num_steps: int,
-    chunk: int = 256,
-    prefetch_chunks: int = 4,
+    chunk: int = ATTN_CHUNK,
+    prefetch_chunks: int = PREFETCH_CHUNKS,
     copy_cache_in: bool = False,
 ):
     """Greedy-decode `num_steps` tokens in one kernel.
@@ -469,7 +469,7 @@ def generate_megakernel(
             pltpu.SMEM((1,), jnp.int32),                          # last token
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=116 * 1024 * 1024,
+            vmem_limit_bytes=VMEM_LIMIT_MB * 1024 * 1024,
             has_side_effects=True,
         ),
     )(
