@@ -292,10 +292,11 @@ class TTSEngine:
             )
             np.asarray(r.codes)
         if self.vocoder_weights is not None:
-            # warm every vocoder shape bucket up to ~25s of audio
+            # warm vocoder shape buckets up to ~13s of audio (longer
+            # utterances compile their bucket on first use)
             sizes = [1, cfg.chunk_frames]
             b = cfg.chunk_frames
-            while b < 320:
+            while b < 160:
                 b *= 2
                 sizes.append(b)
             for n in sizes:
