@@ -96,3 +96,27 @@ def test_chunk_boundary_invariance(engine):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         assert (x == y).all()
+
+
+def test_frames_chunk_eos_mask(tiny_cfg, tiny_weights):
+    """A chunk beginning at CODEC_EOS must mark every frame invalid
+    (reference EOS check: tts_engine.py:302-303)."""
+    import jax
+    import jax.numpy as jnp
+    from qwen_tts_tpu.core.config import CODEC_EOS
+    from qwen_tts_tpu.models.decoder import init_state
+    from qwen_tts_tpu.runtime.frame_loop import frames_chunk
+
+    mc = tiny_cfg
+    state = init_state(mc.talker)
+    h = mc.talker.hidden_size
+    state, codes, valid, tok, hid = frames_chunk(
+        mc.talker, mc.code_predictor,
+        tiny_weights.talker, tiny_weights.code_predictor,
+        state, jnp.int32(CODEC_EOS),
+        jnp.zeros((h,), jnp.float32),
+        jnp.zeros((8, h), jnp.bfloat16), jnp.int32(0), jnp.int32(0),
+        jnp.zeros((h,), jnp.bfloat16), jax.random.PRNGKey(0),
+        num_frames=3, do_sample=False)
+    import numpy as np
+    assert not np.asarray(valid).any()
