@@ -28,10 +28,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=1024)
     p.add_argument("--max-seq", type=int, default=8192)
-    p.add_argument("--warmup", type=int, default=2)
-    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--warmup", type=int, default=1)
+    p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--backend", default="megagen",
-                   choices=["megagen", "mega", "pallas", "dense"])
+                   choices=["megagen", "mega", "mega2", "pallas", "dense"])
     args = p.parse_args()
 
     from qwen_tts_tpu.core.config import CODEC_BOS, DecoderConfig

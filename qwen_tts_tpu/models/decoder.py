@@ -254,10 +254,14 @@ def decode_step_with_embed(
     """One decode step from a precomputed embedding — the `step_with_embed`
     sentinel path (reference: model_tts.py:287-330). Returns
     (state, token int32, normed [H] f32)."""
-    if attn_impl == "mega":
-        from ..ops.decode_step import megakernel_forward
+    if attn_impl in ("mega", "mega2"):
+        if attn_impl == "mega2":
+            from ..ops.decode_step_phased import (
+                megakernel_forward_phased as _fwd)
+        else:
+            from ..ops.decode_step import megakernel_forward as _fwd
 
-        state, logits, normed1 = megakernel_forward(cfg, w, state, embed)
+        state, logits, normed1 = _fwd(cfg, w, state, embed)
         token = jnp.argmax(logits).astype(jnp.int32)
         return state, token, normed1
     state, normed = forward_chunk(cfg, w, state, embed[None, :], attn_impl=attn_impl)
