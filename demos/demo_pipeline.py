@@ -23,6 +23,10 @@ async def run(args):
     engine.initialize()
     print(f"Initialized in {time.perf_counter() - t0:.1f}s")
 
+    # one warm-up pass so a first-use shape bucket doesn't pollute timings
+    async for _ in engine.synthesize_streaming(args.text):
+        pass
+
     t_start = time.perf_counter()
     ttfc = None
     total_samples = 0

@@ -267,11 +267,14 @@ class TTSEngine:
         trailing = jnp.zeros((cfg.trailing_bucket, h), dtype=jnp.bfloat16)
         do_sample = cfg.subtalker_do_sample
         if self._fused_chunks:
-            # warm the fused cold path (tokenize→first chunk, bucket-sized)
-            dummy_ids = jnp.zeros((cfg.trailing_bucket,), dtype=jnp.int32)
-            state, codes, valid, token, hidden, audio, trailing, t_len = \
-                self._first_audio_fn(dummy_ids, jnp.int32(10),
-                                     jax.random.PRNGKey(0))
+            # warm the fused cold path for the first two trailing buckets
+            # (longer texts compile their bucket on first use)
+            for mult in (1, 2):
+                dummy_ids = jnp.zeros((cfg.trailing_bucket * mult,),
+                                      dtype=jnp.int32)
+                state, codes, valid, token, hidden, audio, trailing, t_len = \
+                    self._first_audio_fn(dummy_ids, jnp.int32(10),
+                                         jax.random.PRNGKey(0))
             for n in (1, cfg.chunk_frames):
                 state, codes, valid, token, hidden, audio = \
                     self._chunk_audio_fn(
