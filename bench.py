@@ -31,7 +31,7 @@ def main():
     p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--backend", default="megagen",
-                   choices=["megagen", "mega", "mega2", "pallas", "dense"])
+                   choices=["megagen", "megagen-int8", "mega", "mega2", "pallas", "dense"])
     args = p.parse_args()
 
     from qwen_tts_tpu.core.config import CODEC_BOS, DecoderConfig
@@ -44,13 +44,19 @@ def main():
 
     import numpy as np
 
-    if args.backend == "megagen":
+    if args.backend.startswith("megagen"):
         from qwen_tts_tpu.ops.generate_kernel import generate_megakernel
+
+        gen_w = w
+        if args.backend == "megagen-int8":
+            from qwen_tts_tpu.core.weights import quantize_decoder_weights
+
+            gen_w = quantize_decoder_weights(w)
 
         def run():
             state = init_state(cfg)
             state, tokens = generate_megakernel(
-                cfg, w, state, jnp.int32(CODEC_BOS), args.steps)
+                cfg, gen_w, state, jnp.int32(CODEC_BOS), args.steps)
             # host transfer = the only honest sync on this platform
             return np.asarray(tokens)
     else:

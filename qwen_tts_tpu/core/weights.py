@@ -311,3 +311,75 @@ def load_tts_weights(model_path: str, cfg: TTSModelConfig | None = None,
 
 def num_params(tree: Any) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
+
+
+# ── int8 weight-only quantization (TPU-native extension) ────────────────────
+
+
+class QuantLayerWeights(NamedTuple):
+    """Per-output-channel symmetric int8 weights + f32 scales.
+
+    Weight-only: kernels cast int8→bf16 in VMEM (cheap VPU op fully
+    overlapped with the halved HBM DMA) and multiply the f32 scale into the
+    matmul OUTPUT, so numerics stay bf16×bf16→f32 everywhere else."""
+
+    input_norm: jax.Array   # [L, H] bf16
+    q_norm: jax.Array       # [L, D] bf16
+    k_norm: jax.Array       # [L, D] bf16
+    post_norm: jax.Array    # [L, H] bf16
+    wqkv_q: jax.Array       # [L, H, Q+2KV] int8
+    wqkv_s: jax.Array       # [L, 1, Q+2KV] f32
+    wo_q: jax.Array         # [L, Q, H] int8
+    wo_s: jax.Array         # [L, 1, H] f32
+    w_gate_up_q: jax.Array  # [L, H, 2I] int8
+    w_gate_up_s: jax.Array  # [L, 1, 2I] f32
+    w_down_q: jax.Array     # [L, I, H] int8
+    w_down_s: jax.Array     # [L, 1, H] f32
+
+
+class QuantDecoderWeights(NamedTuple):
+    layers: QuantLayerWeights
+    final_norm: jax.Array
+    embed: jax.Array        # bf16 (gathered rows only)
+    lm_head: jax.Array      # bf16 (single 6 MB read per step)
+    rope: "RopeTable"
+
+
+def _quant_mat(w: jax.Array):
+    """[L, in, out] bf16 → (int8 [L, in, out], f32 scale [L, 1, out])."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)       # [L, 1, out]
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def quantize_decoder_weights(w: DecoderWeights) -> QuantDecoderWeights:
+    """bf16 DecoderWeights → int8 weight-only quantized form."""
+    lw = w.layers
+    wqkv_q, wqkv_s = _quant_mat(lw.wqkv)
+    wo_q, wo_s = _quant_mat(lw.wo)
+    wgu_q, wgu_s = _quant_mat(lw.w_gate_up)
+    wd_q, wd_s = _quant_mat(lw.w_down)
+    return QuantDecoderWeights(
+        layers=QuantLayerWeights(
+            input_norm=lw.input_norm, q_norm=lw.q_norm, k_norm=lw.k_norm,
+            post_norm=lw.post_norm,
+            wqkv_q=wqkv_q, wqkv_s=wqkv_s, wo_q=wo_q, wo_s=wo_s,
+            w_gate_up_q=wgu_q, w_gate_up_s=wgu_s,
+            w_down_q=wd_q, w_down_s=wd_s),
+        final_norm=w.final_norm, embed=w.embed, lm_head=w.lm_head,
+        rope=w.rope)
+
+
+def dequantize_layer_weights(q: QuantLayerWeights) -> LayerWeights:
+    """Reference dequantization (tests / oracle comparison)."""
+    def dq(qm, s):
+        return (qm.astype(jnp.float32) * s).astype(jnp.bfloat16)
+
+    return LayerWeights(
+        input_norm=q.input_norm, q_norm=q.q_norm, k_norm=q.k_norm,
+        post_norm=q.post_norm,
+        wqkv=dq(q.wqkv_q, q.wqkv_s), wo=dq(q.wo_q, q.wo_s),
+        w_gate_up=dq(q.w_gate_up_q, q.w_gate_up_s),
+        w_down=dq(q.w_down_q, q.w_down_s))

@@ -40,9 +40,11 @@ ROWG = 8  # HBM row-group granularity (sublane tiling)
 def _gen_kernel(
     # scalars
     pos0_ref,         # SMEM [1] int32 — cache entries before step 0
-    # per-layer streamed weights
+    # per-layer streamed weights (matrices bf16 OR int8 — see scales)
     in_norm_ref, wqkv_ref, q_norm_ref, k_norm_ref,
     wo_ref, post_norm_ref, w_gate_up_ref, w_down_ref,
+    # per-output-channel f32 scales (ones in bf16 mode)
+    sqkv_ref, so_ref, sgu_ref, sd_ref,
     # constants
     final_norm_ref,   # [1, H]
     lm_head_ref,      # [H, V]
@@ -176,13 +178,17 @@ def _gen_kernel(
         return v * jax.lax.rsqrt(var + eps) * w_row.astype(jnp.float32)
 
     def mm(a, w):
+        # int8 weights (weight-only quant mode) upcast in VMEM — the cast is
+        # VPU work fully hidden under the halved HBM DMA.
+        if w.dtype == jnp.int8:
+            w = w.astype(jnp.bfloat16)
         return jax.lax.dot_general(
             a, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     x = x_ref[:]
     normed_bf = rms(x, in_norm_ref[0]).astype(jnp.bfloat16)
-    qkv = mm(normed_bf, wqkv_ref[0])
+    qkv = mm(normed_bf, wqkv_ref[0]) * sqkv_ref[0]
     q = qkv[:, :Q].reshape(HQ, D)
     k = qkv[:, Q:Q + KV].reshape(KVH, D)
     v = qkv[:, Q + KV:].reshape(KVH, D)
@@ -304,12 +310,12 @@ def _gen_kernel(
     acc_f = acc * corr + jnp.concatenate(pv_rows, axis=0)
     attn = (acc_f / l_f).reshape(1, Q)
 
-    x = x + mm(attn.astype(jnp.bfloat16), wo_ref[0])
+    x = x + mm(attn.astype(jnp.bfloat16), wo_ref[0]) * so_ref[0]
     normed2_bf = rms(x, post_norm_ref[0]).astype(jnp.bfloat16)
-    gate_up = mm(normed2_bf, w_gate_up_ref[0])
+    gate_up = mm(normed2_bf, w_gate_up_ref[0]) * sgu_ref[0]
     gate, up = gate_up[:, :I], gate_up[:, I:]
     mlp = (gate * jax.lax.logistic(gate)) * up
-    x = x + mm(mlp.astype(jnp.bfloat16), w_down_ref[0])
+    x = x + mm(mlp.astype(jnp.bfloat16), w_down_ref[0]) * sd_ref[0]
     x_ref[:] = x
 
     # ── flush a full aligned row group once per ROWG steps ──
@@ -407,18 +413,31 @@ def generate_megakernel(
     kernel = functools.partial(_gen_kernel, cfg=cfg, chunk=C,
                                prefetch_chunks=P, copy_cache_in=copy_cache_in)
     lw = w.layers
+    quant = hasattr(lw, "wqkv_q")
+    if quant:
+        wqkv, wo_m, wgu, wd = lw.wqkv_q, lw.wo_q, lw.w_gate_up_q, lw.w_down_q
+        sqkv, so_s, sgu, sd = lw.wqkv_s, lw.wo_s, lw.w_gate_up_s, lw.w_down_s
+    else:
+        wqkv, wo_m, wgu, wd = lw.wqkv, lw.wo, lw.w_gate_up, lw.w_down
+        ones = lambda out: jnp.ones((L, 1, out), jnp.float32)
+        sqkv, so_s = ones(wqkv.shape[2]), ones(H)
+        sgu, sd = ones(wgu.shape[2]), ones(H)
     embed0 = w.embed[first_token].astype(jnp.float32)[None, :]
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),     # pos0
         _layer_spec((L, 1, H)),
-        _layer_spec(lw.wqkv.shape),
+        _layer_spec(wqkv.shape),
         _layer_spec((L, 1, D)),
         _layer_spec((L, 1, D)),
-        _layer_spec(lw.wo.shape),
+        _layer_spec(wo_m.shape),
         _layer_spec((L, 1, H)),
-        _layer_spec(lw.w_gate_up.shape),
-        _layer_spec(lw.w_down.shape),
+        _layer_spec(wgu.shape),
+        _layer_spec(wd.shape),
+        _layer_spec(sqkv.shape),
+        _layer_spec(so_s.shape),
+        _layer_spec(sgu.shape),
+        _layer_spec(sd.shape),
         _const_spec((1, H)),                       # final norm
         _const_spec((H, V)),                       # lm head
         pl.BlockSpec(memory_space=pl.ANY),         # embed table
@@ -451,7 +470,7 @@ def generate_megakernel(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        input_output_aliases={15: 0, 16: 1},       # cache in → cache out
+        input_output_aliases={19: 0, 20: 1},       # cache in → cache out
         scratch_shapes=[
             pltpu.VMEM((1, H), jnp.float32),                      # x
             pltpu.VMEM((ROWG, H), jnp.bfloat16),                  # emb8
@@ -474,9 +493,10 @@ def generate_megakernel(
         ),
     )(
         jnp.asarray(pos0, jnp.int32).reshape(1),
-        lw.input_norm[:, None, :], lw.wqkv,
+        lw.input_norm[:, None, :], wqkv,
         lw.q_norm[:, None, :], lw.k_norm[:, None, :],
-        lw.wo, lw.post_norm[:, None, :], lw.w_gate_up, lw.w_down,
+        wo_m, lw.post_norm[:, None, :], wgu, wd,
+        sqkv, so_s, sgu, sd,
         w.final_norm[None, :], w.lm_head,
         w.embed, embed0, w.rope.cos, w.rope.sin,
         state.k_cache, state.v_cache,

@@ -80,3 +80,56 @@ def test_generate_continues_from_position(w):
     got = [int(t) for t in np.asarray(tokens)]
     matches = sum(a == b for a, b in zip(oracle_tokens, got))
     assert matches >= 5, f"oracle {oracle_tokens} vs kernel {got}"
+
+
+def test_generate_quantized_matches_dequantized_oracle(w):
+    """int8 weight-only mode vs an oracle running on dequantized weights —
+    near-exact agreement (the only numeric delta is scale-after-matmul vs
+    per-element bf16 rounding)."""
+    from qwen_tts_tpu.core.weights import (
+        dequantize_layer_weights,
+        quantize_decoder_weights,
+    )
+
+    qw = quantize_decoder_weights(w)
+    w_dq = w._replace(layers=dequantize_layer_weights(qw.layers))
+
+    n = 10
+    state_o = init_state(CFG)
+    tok = jnp.int32(5)
+    oracle_tokens = []
+    for _ in range(n):
+        state_o, tok, _ = decode_step(CFG, w_dq, state_o, tok)
+        oracle_tokens.append(int(tok))
+
+    import jax.experimental.pallas as pl
+    from qwen_tts_tpu.ops import generate_kernel as gk
+
+    orig = pl.pallas_call
+    try:
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        state_m, tokens = gk.generate_megakernel.__wrapped__(
+            CFG, qw, init_state(CFG), jnp.int32(5), n, chunk=64,
+            copy_cache_in=True)
+    finally:
+        pl.pallas_call = orig
+    got = [int(t) for t in np.asarray(tokens)]
+    matches = sum(a == b for a, b in zip(oracle_tokens, got))
+    assert matches >= n - 1, f"oracle {oracle_tokens} vs quant {got}"
+
+
+def test_quantization_quality():
+    """Per-channel int8 weights reconstruct within ~1% relative error."""
+    from qwen_tts_tpu.core.weights import (
+        dequantize_layer_weights,
+        quantize_decoder_weights,
+        init_decoder_weights,
+    )
+
+    w = init_decoder_weights(jax.random.PRNGKey(11), CFG)
+    qw = quantize_decoder_weights(w)
+    lw_dq = dequantize_layer_weights(qw.layers)
+    a = np.asarray(w.layers.wqkv.astype(jnp.float32))
+    b = np.asarray(lw_dq.wqkv.astype(jnp.float32))
+    rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+    assert rel < 0.01, rel
