@@ -30,7 +30,7 @@ def main():
     p.add_argument("--max-seq", type=int, default=8192)
     p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--repeats", type=int, default=2)
-    p.add_argument("--backend", default="megagen",
+    p.add_argument("--backend", default="megagen-int8",
                    choices=["megagen", "megagen-int8", "mega", "mega2", "pallas", "dense"])
     args = p.parse_args()
 
@@ -79,8 +79,11 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     tok_s = args.steps / best
+    metric = "talker_decode_tok_s"
+    if args.backend == "megagen-int8":
+        metric = "talker_decode_tok_s_int8_weights"
     print(json.dumps({
-        "metric": "talker_decode_tok_s",
+        "metric": metric,
         "value": round(tok_s, 1),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / 1000.0, 3),
