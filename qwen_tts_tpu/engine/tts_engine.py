@@ -80,6 +80,7 @@ class TTSConfig:
     trailing_bucket: int = 64
     backend: str = "auto"                 # auto | dense | pallas | mega
     fused_chunks: bool = True             # one dispatch per audio chunk
+    quantize: bool = False                # int8 weight-only talker decode
 
 
 class TTSEngine:
@@ -147,6 +148,14 @@ class TTSEngine:
         self._fused_tags = (tts_prefix + codec_embeds[:4]).astype(jnp.bfloat16)
         self._codec_bos_embed = codec_embeds[4]
 
+        # int8 weight-only mode for the talker's per-step decode (prefill
+        # and the code predictor keep bf16; quality note: docs/02).
+        self._talker_step_w = self.weights.talker
+        if cfg.quantize and self._attn_impl == "mega":
+            from ..core.weights import quantize_decoder_weights
+
+            self._talker_step_w = quantize_decoder_weights(self.weights.talker)
+
         self._build_fused_fns()
         self._warmup()
         self._initialized = True
@@ -177,7 +186,7 @@ class TTSEngine:
         jitted = jax.jit(fn, static_argnames=("n",), donate_argnames=("state",))
 
         def call(state, tok, hid, trailing, tlen, tidx0, rng, n):
-            return jitted(self.weights.talker, self.weights.code_predictor,
+            return jitted(self._talker_step_w, self.weights.code_predictor,
                           self.vocoder_weights, self._tts_pad_embed,
                           state, tok, hid, trailing, tlen, tidx0, rng, n)
 
@@ -191,7 +200,7 @@ class TTSEngine:
         from ..core.config import CODEC_BOS
         from ..models.decoder import forward_chunk, decode_step_with_embed
 
-        def first_fn(tw, cw, vw, tp_w, role_embeds, fused_tags,
+        def first_fn(tw, tw_step, cw, vw, tp_w, role_embeds, fused_tags,
                      codec_bos_embed, tts_eos, tts_pad,
                      content_ids, n_content, rng):
             content_embeds = embed_text_ids(tp_w, content_ids)   # [Tpad, H]
@@ -215,7 +224,7 @@ class TTSEngine:
             state, tok, hid = decode_step_with_embed(
                 mc.talker, tw, state, tw.embed[CODEC_BOS], attn_impl=attn_impl)
             state, codes, valid, tok, hid = frames_chunk(
-                mc.talker, mc.code_predictor, tw, cw, state, tok, hid,
+                mc.talker, mc.code_predictor, tw_step, cw, state, tok, hid,
                 trailing, t_len, jnp.int32(0), tts_pad, rng, num_frames=1,
                 do_sample=cfg.subtalker_do_sample,
                 temperature=cfg.subtalker_temperature,
@@ -230,7 +239,8 @@ class TTSEngine:
 
         def first_call(content_ids, n_content, rng):
             return first_jitted(
-                self.weights.talker, self.weights.code_predictor,
+                self.weights.talker, self._talker_step_w,
+                self.weights.code_predictor,
                 self.vocoder_weights, self.weights.text_projection,
                 self._role_embeds, self._fused_tags, self._codec_bos_embed,
                 self._tts_eos_embed, self._tts_pad_embed,

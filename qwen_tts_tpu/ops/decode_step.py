@@ -48,6 +48,11 @@ def _megakernel(
     post_norm_ref,    # [1, 1, H]
     w_gate_up_ref,    # [1, H, 2I]
     w_down_ref,       # [1, I, H]
+    # per-output-channel f32 scales (ones in bf16 mode)
+    sqkv_ref,         # [1, 1, Q+2KV]
+    so_ref,           # [1, 1, H]
+    sgu_ref,          # [1, 1, 2I]
+    sd_ref,           # [1, 1, H]
     # constants (fetched once)
     final_norm_ref,   # [1, H]
     lm_head_ref,      # [H, V]
@@ -139,12 +144,14 @@ def _megakernel(
     normed_bf = normed.astype(jnp.bfloat16)
 
     def mm(a, w):                                  # bf16 × bf16 → f32
+        if w.dtype == jnp.int8:                    # weight-only quant mode
+            w = w.astype(jnp.bfloat16)
         return jax.lax.dot_general(
             a, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     I = cfg.intermediate_size
-    qkv = mm(normed_bf, wqkv_ref[0])               # [1, Q+2KV] f32
+    qkv = mm(normed_bf, wqkv_ref[0]) * sqkv_ref[0]  # [1, Q+2KV] f32
     q = qkv[:, :Q].reshape(HQ, D)                  # [16, 128]
     k = qkv[:, Q:Q + KV].reshape(KVH, D)           # [8, 128]
     v = qkv[:, Q + KV:].reshape(KVH, D)
@@ -262,14 +269,14 @@ def _megakernel(
     attn = (jnp.concatenate(acc_rows, axis=0) / l_f).reshape(1, Q)  # [1, Q] f32
 
     # O-proj + residual
-    x = x + mm(attn.astype(jnp.bfloat16), wo_ref[0])
+    x = x + mm(attn.astype(jnp.bfloat16), wo_ref[0]) * so_ref[0]
 
     # Post-norm + SwiGLU MLP + residual (kernel.cu:651-867)
     normed2_bf = rms(x, post_norm_ref[0]).astype(jnp.bfloat16)
-    gate_up = mm(normed2_bf, w_gate_up_ref[0])      # [1, 2I]
+    gate_up = mm(normed2_bf, w_gate_up_ref[0]) * sgu_ref[0]   # [1, 2I]
     gate, up = gate_up[:, :I], gate_up[:, I:]
     mlp = (gate * jax.lax.logistic(gate)) * up      # SiLU(gate) · up, f32
-    x = x + mm(mlp.astype(jnp.bfloat16), w_down_ref[0])
+    x = x + mm(mlp.astype(jnp.bfloat16), w_down_ref[0]) * sd_ref[0]
     x_ref[:] = x
 
     # Cross-step prefetch: start layer li+1's first P cache chunks now,
@@ -322,6 +329,14 @@ def megakernel_forward(
     kernel = functools.partial(_megakernel, cfg=cfg, chunk=C,
                                prefetch_chunks=P)
     lw = w.layers
+    if hasattr(lw, "wqkv_q"):   # int8 weight-only mode
+        wqkv, wo_m, wgu, wd = lw.wqkv_q, lw.wo_q, lw.w_gate_up_q, lw.w_down_q
+        sqkv, so_s, sgu, sd = lw.wqkv_s, lw.wo_s, lw.w_gate_up_s, lw.w_down_s
+    else:
+        wqkv, wo_m, wgu, wd = lw.wqkv, lw.wo, lw.w_gate_up, lw.w_down
+        ones = lambda out: jnp.ones((L, 1, out), jnp.float32)
+        sqkv, so_s = ones(wqkv.shape[2]), ones(H)
+        sgu, sd = ones(wgu.shape[2]), ones(H)
 
     out_shapes = (
         jax.ShapeDtypeStruct((L, KVH, 1, D), state.k_cache.dtype),  # k_new
@@ -338,13 +353,17 @@ def megakernel_forward(
     in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),   # position
             _layer_spec((L, 1, H)),
-            _layer_spec(lw.wqkv.shape),
+            _layer_spec(wqkv.shape),
             _layer_spec((L, 1, D)),
             _layer_spec((L, 1, D)),
-            _layer_spec(lw.wo.shape),
+            _layer_spec(wo_m.shape),
             _layer_spec((L, 1, H)),
-            _layer_spec(lw.w_gate_up.shape),
-            _layer_spec(lw.w_down.shape),
+            _layer_spec(wgu.shape),
+            _layer_spec(wd.shape),
+            _layer_spec(sqkv.shape),
+            _layer_spec(so_s.shape),
+            _layer_spec(sgu.shape),
+            _layer_spec(sd.shape),
             _const_spec((1, H)),            # final_norm
             _const_spec((H, V)),            # lm_head
             _const_spec((1, H)),            # embed
@@ -374,9 +393,10 @@ def megakernel_forward(
         ),
     )(
         jnp.asarray(pos, jnp.int32).reshape(1),
-        lw.input_norm[:, None, :], lw.wqkv,
+        lw.input_norm[:, None, :], wqkv,
         lw.q_norm[:, None, :], lw.k_norm[:, None, :],
-        lw.wo, lw.post_norm[:, None, :], lw.w_gate_up, lw.w_down,
+        wo_m, lw.post_norm[:, None, :], wgu, wd,
+        sqkv, so_s, sgu, sd,
         w.final_norm[None, :], w.lm_head,
         embed.astype(jnp.float32)[None, :], cos, sin,
         state.k_cache, state.v_cache,
