@@ -120,3 +120,15 @@ def test_frames_chunk_eos_mask(tiny_cfg, tiny_weights):
         num_frames=3, do_sample=False)
     import numpy as np
     assert not np.asarray(valid).any()
+
+
+def test_quantize_knob_inert_on_cpu(tiny_cfg):
+    """quantize=True only activates with the mega backend; on CPU (dense)
+    the engine must still initialize and synthesize."""
+    from qwen_tts_tpu.engine.tts_engine import TTSConfig, TTSEngine
+
+    eng = TTSEngine(TTSConfig(max_seq_len=128, chunk_frames=4, quantize=True),
+                    model_config=tiny_cfg)
+    eng.initialize()
+    wav, sr = eng.synthesize("quantize knob check")
+    assert len(wav) > 0
