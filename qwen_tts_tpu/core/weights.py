@@ -345,22 +345,40 @@ class QuantDecoderWeights(NamedTuple):
     rope: "RopeTable"
 
 
-def _quant_mat(w: jax.Array):
-    """[L, in, out] bf16 → (int8 [L, in, out], f32 scale [L, 1, out])."""
-    wf = w.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)       # [L, 1, out]
+def _quant_mat(w: jax.Array, group_size: int | None = None):
+    """[L, in, out] bf16 → (int8 [L, in, out], f32 scale).
+
+    `group_size=None`: per-output-channel scales [L, 1, out] (one scale over
+    the whole contraction). `group_size=G`: group-wise scales [L, in/G, out]
+    along the contraction axis — slightly better fidelity at identical weight
+    bytes (the kernel's `mm_scaled` handles both shapes)."""
+    if group_size is None:
+        wf = w.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)   # [L, 1, out]
+        scale = jnp.maximum(absmax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+        return q, scale.astype(jnp.float32)
+    L, n_in, n_out = w.shape
+    if n_in % group_size:
+        raise ValueError(f"in dim {n_in} not divisible by group {group_size}")
+    ng = n_in // group_size
+    wf = w.astype(jnp.float32).reshape(L, ng, group_size, n_out)
+    absmax = jnp.max(jnp.abs(wf), axis=2, keepdims=True)
     scale = jnp.maximum(absmax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-    return q, scale.astype(jnp.float32)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127)
+    return (q.reshape(L, n_in, n_out).astype(jnp.int8),
+            scale[:, :, 0, :].astype(jnp.float32))
 
 
-def quantize_decoder_weights(w: DecoderWeights) -> QuantDecoderWeights:
+def quantize_decoder_weights(
+    w: DecoderWeights, group_size: int | None = None,
+) -> QuantDecoderWeights:
     """bf16 DecoderWeights → int8 weight-only quantized form."""
     lw = w.layers
-    wqkv_q, wqkv_s = _quant_mat(lw.wqkv)
-    wo_q, wo_s = _quant_mat(lw.wo)
-    wgu_q, wgu_s = _quant_mat(lw.w_gate_up)
-    wd_q, wd_s = _quant_mat(lw.w_down)
+    wqkv_q, wqkv_s = _quant_mat(lw.wqkv, group_size)
+    wo_q, wo_s = _quant_mat(lw.wo, group_size)
+    wgu_q, wgu_s = _quant_mat(lw.w_gate_up, group_size)
+    wd_q, wd_s = _quant_mat(lw.w_down, group_size)
     return QuantDecoderWeights(
         layers=QuantLayerWeights(
             input_norm=lw.input_norm, q_norm=lw.q_norm, k_norm=lw.k_norm,
@@ -373,9 +391,134 @@ def quantize_decoder_weights(w: DecoderWeights) -> QuantDecoderWeights:
 
 
 def dequantize_layer_weights(q: QuantLayerWeights) -> LayerWeights:
+    """Reference dequantization (tests / oracle comparison); handles both
+    per-channel ([L,1,out]) and group-wise ([L,ng,out]) scales."""
+    def dq(qm, s):
+        L, n_in, n_out = qm.shape
+        ng = s.shape[1]
+        if ng == 1:
+            return (qm.astype(jnp.float32) * s).astype(jnp.bfloat16)
+        wf = qm.astype(jnp.float32).reshape(L, ng, n_in // ng, n_out)
+        return (wf * s[:, :, None, :]).reshape(L, n_in, n_out).astype(jnp.bfloat16)
+
+    return LayerWeights(
+        input_norm=q.input_norm, q_norm=q.q_norm, k_norm=q.k_norm,
+        post_norm=q.post_norm,
+        wqkv=dq(q.wqkv_q, q.wqkv_s), wo=dq(q.wo_q, q.wo_s),
+        w_gate_up=dq(q.w_gate_up_q, q.w_gate_up_s),
+        w_down=dq(q.w_down_q, q.w_down_s))
+
+
+# ── int4 group-wise weight-only quantization ─────────────────────────────────
+#
+# Group-wise along the contraction (input) axis: every `group_size` input
+# rows of each output column share one f32 scale (GPTQ-style layout), so
+# scales have shape [L, in/group_size, out] — with only 15 int4 levels,
+# per-output-channel scaling over 1024+ inputs is too coarse.
+#
+# Storage is MANUALLY nibble-packed into int8 (the native `jnp.int4` dtype
+# triggers an infinite device_put recursion in this image's TPU plugin):
+# packed byte row r holds original input rows r (low nibble) and
+# r + in/2 (high nibble), i.e. the two HALVES of the contraction axis are
+# interleaved bytewise. The halves layout means kernels unpack with two
+# static slices of the activation (`a[:, :in/2]`, `a[:, in/2:]`) instead of
+# a strided deinterleave. HBM traffic is half of int8's.
+
+INT4_GROUP = 128
+
+
+class Quant4LayerWeights(NamedTuple):
+    """Group-wise symmetric int4 weights, nibble-packed into int8
+    [L, in/2, out] (halves layout), + f32 scales [L, in/G, out]."""
+
+    input_norm: jax.Array   # [L, H] bf16
+    q_norm: jax.Array       # [L, D] bf16
+    k_norm: jax.Array       # [L, D] bf16
+    post_norm: jax.Array    # [L, H] bf16
+    wqkv_q: jax.Array       # [L, H/2, Q+2KV] int8 (packed int4×2)
+    wqkv_s: jax.Array       # [L, H/G, Q+2KV] f32
+    wo_q: jax.Array         # [L, Q/2, H] int8 (packed)
+    wo_s: jax.Array         # [L, Q/G, H] f32
+    w_gate_up_q: jax.Array  # [L, H/2, 2I] int8 (packed)
+    w_gate_up_s: jax.Array  # [L, H/G, 2I] f32
+    w_down_q: jax.Array     # [L, I/2, H] int8 (packed)
+    w_down_s: jax.Array     # [L, I/G, H] f32
+
+
+class Quant4DecoderWeights(NamedTuple):
+    layers: Quant4LayerWeights
+    final_norm: jax.Array
+    embed: jax.Array        # bf16 (gathered rows only)
+    lm_head: jax.Array      # bf16 (single 6 MB read per step)
+    rope: "RopeTable"
+
+
+def pack_int4(q: jax.Array) -> jax.Array:
+    """int values in [-8,7], [L, in, out] → packed int8 [L, in/2, out].
+
+    Byte row r = (q[r] & 0xF) | (q[r + in/2] << 4)."""
+    L, n_in, n_out = q.shape
+    qi = q.astype(jnp.int32)
+    lo = qi[:, : n_in // 2, :] & 0xF
+    hi = qi[:, n_in // 2:, :] & 0xF
+    return (lo | (hi << 4)).astype(jnp.uint8).view(jnp.int8)
+
+
+def unpack_int4(p: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """packed int8 [..., in/2, out] → (lo, hi) sign-extended int32 halves.
+
+    Same integer arithmetic the kernels use: the signed int8 widens with
+    sign extension, so `>> 4` recovers the high nibble directly and the
+    `^8 - 8` trick sign-extends the low one."""
+    w32 = p.astype(jnp.int32)
+    lo = ((w32 & 0xF) ^ 8) - 8
+    hi = w32 >> 4
+    return lo, hi
+
+
+def _quant_mat_int4(w: jax.Array, group_size: int = INT4_GROUP):
+    """[L, in, out] bf16 → (packed int8 [L, in/2, out], f32 [L, in/G, out])."""
+    L, n_in, n_out = w.shape
+    if n_in % group_size or n_in % 2:
+        raise ValueError(f"in dim {n_in} not divisible by group {group_size}")
+    ng = n_in // group_size
+    wf = w.astype(jnp.float32).reshape(L, ng, group_size, n_out)
+    absmax = jnp.max(jnp.abs(wf), axis=2, keepdims=True)   # [L, ng, 1, out]
+    scale = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).reshape(L, n_in, n_out)
+    return pack_int4(q), scale[:, :, 0, :].astype(jnp.float32)
+
+
+def quantize_decoder_weights_int4(
+    w: DecoderWeights, group_size: int = INT4_GROUP,
+) -> Quant4DecoderWeights:
+    """bf16 DecoderWeights → int4 group-wise weight-only quantized form."""
+    lw = w.layers
+    wqkv_q, wqkv_s = _quant_mat_int4(lw.wqkv, group_size)
+    wo_q, wo_s = _quant_mat_int4(lw.wo, group_size)
+    wgu_q, wgu_s = _quant_mat_int4(lw.w_gate_up, group_size)
+    wd_q, wd_s = _quant_mat_int4(lw.w_down, group_size)
+    return Quant4DecoderWeights(
+        layers=Quant4LayerWeights(
+            input_norm=lw.input_norm, q_norm=lw.q_norm, k_norm=lw.k_norm,
+            post_norm=lw.post_norm,
+            wqkv_q=wqkv_q, wqkv_s=wqkv_s, wo_q=wo_q, wo_s=wo_s,
+            w_gate_up_q=wgu_q, w_gate_up_s=wgu_s,
+            w_down_q=wd_q, w_down_s=wd_s),
+        final_norm=w.final_norm, embed=w.embed, lm_head=w.lm_head,
+        rope=w.rope)
+
+
+def dequantize_layer_weights_int4(q: Quant4LayerWeights) -> LayerWeights:
     """Reference dequantization (tests / oracle comparison)."""
     def dq(qm, s):
-        return (qm.astype(jnp.float32) * s).astype(jnp.bfloat16)
+        L, n_half, n_out = qm.shape
+        n_in = n_half * 2
+        ng = s.shape[1]
+        lo, hi = unpack_int4(qm)
+        wf = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
+        wf = wf.reshape(L, ng, n_in // ng, n_out) * s[:, :, None, :]
+        return wf.reshape(L, n_in, n_out).astype(jnp.bfloat16)
 
     return LayerWeights(
         input_norm=q.input_norm, q_norm=q.q_norm, k_norm=q.k_norm,

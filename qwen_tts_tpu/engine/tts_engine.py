@@ -63,10 +63,13 @@ class TTSConfig:
     vocoder_path: Optional[str] = None
     sample_rate: int = 24000
     chunk_frames: int = 10                # ~0.8 s per chunk at 12.5 Hz
-    # Generation params
-    do_sample: bool = True
-    temperature: float = 0.9
-    top_k: int = 50
+    # Generation params — RESERVED for the talker: talker tokens are always
+    # greedy argmax, matching the reference kernel's fused in-kernel argmax
+    # (reference: kernel.cu:1022-1185). Only the subtalker_* fields below
+    # control sampling (the code predictor), as in the reference.
+    do_sample: bool = True                # reserved (talker is greedy-only)
+    temperature: float = 0.9              # reserved (talker is greedy-only)
+    top_k: int = 50                       # reserved (talker is greedy-only)
     repetition_penalty: float = 1.05      # reserved (reference never applies it)
     max_new_tokens: int = 2048
     # Code predictor params
@@ -208,13 +211,17 @@ class TTSEngine:
             prefill_embeds = jnp.concatenate(
                 [role_embeds, fused_tags, first_text_bos])       # [8, H]
 
-            # trailing[i] = content[i+1] for i < n-6; tts_eos at i == n-6
+            # trailing[i] = content[i+1] for i < n-6; tts_eos at i == n-6.
+            # The eos index is clamped to 0 so degenerate inputs (content =
+            # just the 5 trailing format tokens) still emit [tts_eos],
+            # agreeing with the non-fused _build_prefill path.
             Tpad = content_ids.shape[0]
             idx = jnp.arange(Tpad)[:, None]
             shifted = jnp.roll(content_embeds, -1, axis=0)
+            eos_pos = jnp.maximum(n_content - 6, 0)
             trailing = jnp.where(
-                idx < n_content - 6, shifted,
-                jnp.where(idx == n_content - 6, tts_eos[None],
+                idx < eos_pos, shifted,
+                jnp.where(idx == eos_pos, tts_eos[None],
                           jnp.zeros_like(shifted)))
             t_len = jnp.maximum(n_content - 5, 1).astype(jnp.int32)
 
@@ -413,9 +420,11 @@ class TTSEngine:
         dispatch — the TPU equivalent of the reference's queued CUDA launches,
         reference: kernel.cu:1555-1613).
 
-        Yields (audio_f32, frames list). Exactness: full chunks are decoded
-        exactly; a terminal partial chunk is re-decoded from its valid frames
-        only (one extra round trip once per utterance)."""
+        Yields (audio_f32, frames list). Full chunks are decoded at their
+        true length; a terminal partial chunk is re-decoded from its valid
+        frames (one extra round trip once per utterance) through the bucket
+        padding in `_decode_to_audio`, so its tail is close to but not
+        bit-exact vs a true-length decode."""
         from collections import deque
 
         cfg, mc = self.config, self.model_config
@@ -529,13 +538,15 @@ class TTSEngine:
     def _generate_codec_frames(self, text: str) -> Generator[np.ndarray, None, None]:
         """Yield one [16] int32 frame at a time (reference: tts_engine.py:246-335)."""
         cfg, mc = self.config, self.model_config
-        self._talker_state = init_state(mc.talker)
 
         prefill_embeds, trailing, trailing_len = self._build_prefill(text)
 
+        # talker_prefill/frame_step donate their state: work on a local and
+        # only assign self._talker_state once the loop ends, so an early
+        # generator close never leaves a deleted array behind.
         state, prev_token, hidden = talker_prefill(
-            mc.talker, self.weights.talker, self._talker_state, prefill_embeds,
-            attn_impl=self._attn_impl)
+            mc.talker, self.weights.talker, init_state(mc.talker),
+            prefill_embeds, attn_impl=self._attn_impl)
 
         # Frame cap: word-count heuristic since EOS is unreliable under the
         # standard-RoPE approximation (reference: tts_engine.py:295-299,
@@ -578,13 +589,19 @@ class TTSEngine:
         Frame counts are padded up to {1, chunk_frames, 2×chunk_frames, ...}
         buckets so the jitted vocoder never sees a new shape mid-stream (a
         fresh conv-stack compile costs seconds); the waveform is sliced back
-        to the exact length."""
+        to the exact length. Padding repeats the last valid frame — code 0
+        is a real codebook entry, and the vocoder's SAME-padded (non-causal)
+        convs bleed pad frames back into the tail of the valid region, so
+        repeat-padding keeps the tail continuous. The result is still not
+        bit-exact vs a true-length decode near the final frame boundary."""
         if not frames:
             return np.array([], dtype=np.float32), self.sample_rate
         T = len(frames)
         bucket = self._vocoder_bucket(T)
-        codes = np.zeros((bucket, len(frames[0])), dtype=np.int32)
-        codes[:T] = np.stack(frames)
+        stacked = np.stack(frames)
+        codes = np.broadcast_to(
+            stacked[-1], (bucket, stacked.shape[1])).copy()
+        codes[:T] = stacked
         codes = jnp.asarray(codes)
         if self.vocoder_weights is not None:
             wav = self._vocoder_fn(self.vocoder_weights, codes)
@@ -606,9 +623,17 @@ class TTSEngine:
         return b
 
     def get_metrics(self) -> dict:
+        position = 0
+        if self._initialized:
+            try:
+                position = int(self._talker_state.position)
+            except RuntimeError:
+                # state buffer was donated into an in-flight generation
+                # (e.g. a streaming generator closed early)
+                position = -1
         return {
             "sample_rate": self.sample_rate,
-            "position": int(self._talker_state.position) if self._initialized else 0,
+            "position": position,
             "frames_generated": getattr(self, "_frames_generated", 0),
         }
 

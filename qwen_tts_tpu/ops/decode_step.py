@@ -36,6 +36,55 @@ from ..core.weights import DecoderWeights
 from ..models.decoder import DecodeState
 
 
+def make_mms():
+    """(mm, mm_scaled) matvec helpers shared by the fused kernels.
+
+    `mm` is the plain bf16×bf16→f32 contraction (int8 weights upcast in
+    VMEM — VPU work hidden under the next slab's halved HBM DMA).
+    `mm_scaled(a, w, s)` applies weight-only dequant scales `s`:
+      - s [1, out]: per-output-channel (int8 mode, or all-ones for bf16) —
+        one multiply on the matmul output;
+      - s [ng, out], ng > 1: GROUP-WISE along the contraction axis (group =
+        in/ng rows): the contraction is batched over groups and each
+        group's partial product is scaled before the final sum;
+      - w [in/2, out] int8 with a [1, in]: nibble-PACKED int4 (halves
+        layout, core/weights.py pack_int4) — both nibbles are sign-extended
+        on the VPU and each half contracts against its slice of `a`.
+    """
+
+    def mm(a, w):
+        if w.dtype != jnp.bfloat16:
+            w = w.astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            a, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def _grouped(ah, wh, sh):
+        ngh, n_out = sh.shape
+        gs = ah.shape[1] // ngh
+        wg = wh.reshape(ngh, gs, n_out)
+        ag = ah.reshape(ngh, 1, gs)
+        partial = jax.lax.dot_general(
+            ag, wg, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # [ng, 1, out]
+        return jnp.sum(partial * sh[:, None, :], axis=0)  # [1, out]
+
+    def mm_scaled(a, w, s):
+        ng = s.shape[0]
+        if 2 * w.shape[0] == a.shape[1]:               # packed int4
+            wi = w.astype(jnp.int32)
+            lo = (((wi & 15) ^ 8) - 8).astype(jnp.bfloat16)
+            hi = (wi >> 4).astype(jnp.bfloat16)
+            half = a.shape[1] // 2
+            return (_grouped(a[:, :half], lo, s[: ng // 2]) +
+                    _grouped(a[:, half:], hi, s[ng // 2:]))
+        if ng == 1:
+            return mm(a, w) * s
+        return _grouped(a, w.astype(jnp.bfloat16), s)
+
+    return mm, mm_scaled
+
+
 def _megakernel(
     # scalars
     pos_ref,          # SMEM [1] int32 — #old cache entries
@@ -143,15 +192,10 @@ def _megakernel(
     normed = rms(x, in_norm_ref[0])                # [1, H]
     normed_bf = normed.astype(jnp.bfloat16)
 
-    def mm(a, w):                                  # bf16 × bf16 → f32
-        if w.dtype == jnp.int8:                    # weight-only quant mode
-            w = w.astype(jnp.bfloat16)
-        return jax.lax.dot_general(
-            a, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    mm, mm_scaled = make_mms()
 
     I = cfg.intermediate_size
-    qkv = mm(normed_bf, wqkv_ref[0]) * sqkv_ref[0]  # [1, Q+2KV] f32
+    qkv = mm_scaled(normed_bf, wqkv_ref[0], sqkv_ref[0])  # [1, Q+2KV] f32
     q = qkv[:, :Q].reshape(HQ, D)                  # [16, 128]
     k = qkv[:, Q:Q + KV].reshape(KVH, D)           # [8, 128]
     v = qkv[:, Q + KV:].reshape(KVH, D)
@@ -269,14 +313,14 @@ def _megakernel(
     attn = (jnp.concatenate(acc_rows, axis=0) / l_f).reshape(1, Q)  # [1, Q] f32
 
     # O-proj + residual
-    x = x + mm(attn.astype(jnp.bfloat16), wo_ref[0]) * so_ref[0]
+    x = x + mm_scaled(attn.astype(jnp.bfloat16), wo_ref[0], so_ref[0])
 
     # Post-norm + SwiGLU MLP + residual (kernel.cu:651-867)
     normed2_bf = rms(x, post_norm_ref[0]).astype(jnp.bfloat16)
-    gate_up = mm(normed2_bf, w_gate_up_ref[0]) * sgu_ref[0]   # [1, 2I]
+    gate_up = mm_scaled(normed2_bf, w_gate_up_ref[0], sgu_ref[0])   # [1, 2I]
     gate, up = gate_up[:, :I], gate_up[:, I:]
     mlp = (gate * jax.lax.logistic(gate)) * up      # SiLU(gate) · up, f32
-    x = x + mm(mlp.astype(jnp.bfloat16), w_down_ref[0]) * sd_ref[0]
+    x = x + mm_scaled(mlp.astype(jnp.bfloat16), w_down_ref[0], sd_ref[0])
     x_ref[:] = x
 
     # Cross-step prefetch: start layer li+1's first P cache chunks now,
@@ -306,6 +350,19 @@ def _layer_spec(shape):
                         memory_space=pltpu.VMEM)
 
 
+def check_attn_chunk(S: int, C: int) -> None:
+    """Cache DMAs are issued in whole chunks: the seq dim must tile exactly,
+    and the chunk must respect the 8-sublane tiling (both `max_seq_len` and
+    QWEN_TTS_TPU_ATTN_CHUNK are user-settable; an unaligned pair would issue
+    out-of-bounds HBM DMAs once the position crosses the last full chunk)."""
+    if C % 8 != 0:
+        raise ValueError(f"attention chunk ({C}) must be a multiple of 8")
+    if S % C != 0:
+        raise ValueError(
+            f"max_seq_len ({S}) must be a multiple of the attention chunk "
+            f"({C}); set QWEN_TTS_TPU_ATTN_CHUNK or pad max_seq_len")
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk", "prefetch_chunks"))
 def megakernel_forward(
     cfg: DecoderConfig,
@@ -320,6 +377,7 @@ def megakernel_forward(
     KVH, D, I, V = cfg.num_kv_heads, cfg.head_dim, cfg.intermediate_size, cfg.vocab_size
     S = cfg.max_seq_len
     C = min(chunk, S)
+    check_attn_chunk(S, C)
     pos = state.position
 
     cos = jax.lax.dynamic_slice_in_dim(w.rope.cos, pos, 1, axis=0)  # [1, D//2]

@@ -261,6 +261,8 @@ def megakernel_forward_phased(
     KVH, D, V = cfg.num_kv_heads, cfg.head_dim, cfg.vocab_size
     S = cfg.max_seq_len
     C = min(chunk, S)
+    from .decode_step import check_attn_chunk
+    check_attn_chunk(S, C)
     pos = state.position
     P = max(1, min(prefetch_chunks, -(-S // C)))
 

@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.config import ATTN_CHUNK, DecoderConfig, PREFETCH_CHUNKS, VMEM_LIMIT_MB
 from ..core.weights import DecoderWeights
 from ..models.decoder import DecodeState
+from .decode_step import check_attn_chunk, make_mms
 
 ROWG = 8  # HBM row-group granularity (sublane tiling)
 
@@ -177,18 +178,11 @@ def _gen_kernel(
         var = jnp.mean(v * v, axis=-1, keepdims=True)
         return v * jax.lax.rsqrt(var + eps) * w_row.astype(jnp.float32)
 
-    def mm(a, w):
-        # int8 weights (weight-only quant mode) upcast in VMEM — the cast is
-        # VPU work fully hidden under the halved HBM DMA.
-        if w.dtype == jnp.int8:
-            w = w.astype(jnp.bfloat16)
-        return jax.lax.dot_general(
-            a, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    mm, mm_scaled = make_mms()
 
     x = x_ref[:]
     normed_bf = rms(x, in_norm_ref[0]).astype(jnp.bfloat16)
-    qkv = mm(normed_bf, wqkv_ref[0]) * sqkv_ref[0]
+    qkv = mm_scaled(normed_bf, wqkv_ref[0], sqkv_ref[0])
     q = qkv[:, :Q].reshape(HQ, D)
     k = qkv[:, Q:Q + KV].reshape(KVH, D)
     v = qkv[:, Q + KV:].reshape(KVH, D)
@@ -310,12 +304,12 @@ def _gen_kernel(
     acc_f = acc * corr + jnp.concatenate(pv_rows, axis=0)
     attn = (acc_f / l_f).reshape(1, Q)
 
-    x = x + mm(attn.astype(jnp.bfloat16), wo_ref[0]) * so_ref[0]
+    x = x + mm_scaled(attn.astype(jnp.bfloat16), wo_ref[0], so_ref[0])
     normed2_bf = rms(x, post_norm_ref[0]).astype(jnp.bfloat16)
-    gate_up = mm(normed2_bf, w_gate_up_ref[0]) * sgu_ref[0]
+    gate_up = mm_scaled(normed2_bf, w_gate_up_ref[0], sgu_ref[0])
     gate, up = gate_up[:, :I], gate_up[:, I:]
     mlp = (gate * jax.lax.logistic(gate)) * up
-    x = x + mm(mlp.astype(jnp.bfloat16), w_down_ref[0]) * sd_ref[0]
+    x = x + mm_scaled(mlp.astype(jnp.bfloat16), w_down_ref[0], sd_ref[0])
     x_ref[:] = x
 
     # ── flush a full aligned row group once per ROWG steps ──
@@ -406,6 +400,7 @@ def generate_megakernel(
     KVH, D, V = cfg.num_kv_heads, cfg.head_dim, cfg.vocab_size
     S = cfg.max_seq_len
     C = min(chunk, S)
+    check_attn_chunk(S, C)
     P = max(1, min(prefetch_chunks, -(-S // C)))
     N = num_steps
     pos0 = state.position

@@ -133,3 +133,83 @@ def test_quantization_quality():
     b = np.asarray(lw_dq.wqkv.astype(jnp.float32))
     rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
     assert rel < 0.01, rel
+
+
+def test_generate_int4_matches_dequantized_oracle(w):
+    """int4 group-wise mode vs an oracle on dequantized weights — the kernel
+    applies group scales to batched partial products, so the only numeric
+    delta vs the oracle is bf16 rounding placement."""
+    from qwen_tts_tpu.core.weights import (
+        dequantize_layer_weights_int4,
+        quantize_decoder_weights_int4,
+    )
+
+    qw = quantize_decoder_weights_int4(w)
+    w_dq = w._replace(layers=dequantize_layer_weights_int4(qw.layers))
+
+    n = 10
+    state_o = init_state(CFG)
+    tok = jnp.int32(5)
+    oracle_tokens = []
+    for _ in range(n):
+        state_o, tok, _ = decode_step(CFG, w_dq, state_o, tok)
+        oracle_tokens.append(int(tok))
+
+    state_m, tokens = _gen_interpret(qw, init_state(CFG), jnp.int32(5), n)
+    got = [int(t) for t in np.asarray(tokens)]
+    matches = sum(a == b for a, b in zip(oracle_tokens, got))
+    assert matches >= n - 1, f"oracle {oracle_tokens} vs int4 {got}"
+
+
+def test_int4_quantization_quality():
+    """Group-wise int4 beats per-CHANNEL int4 and sits at the error level a
+    15-level uniform grid physically gives on gaussian weights (~12-13%
+    mean abs — the reason int4 is a throughput mode, not the quality
+    default; see docs/02)."""
+    from qwen_tts_tpu.core.weights import (
+        dequantize_layer_weights_int4,
+        quantize_decoder_weights_int4,
+        init_decoder_weights,
+    )
+
+    w = init_decoder_weights(jax.random.PRNGKey(11), CFG)
+    qw = quantize_decoder_weights_int4(w)
+    lw_dq = dequantize_layer_weights_int4(qw.layers)
+    a = np.asarray(w.layers.wqkv.astype(jnp.float32))
+    b = np.asarray(lw_dq.wqkv.astype(jnp.float32))
+    rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+    assert rel < 0.16, rel
+
+    # per-channel int4 baseline over the full column (for comparison)
+    af = a.reshape(a.shape[0], a.shape[1], -1)
+    absmax = np.abs(af).max(axis=1, keepdims=True)
+    s = np.maximum(absmax, 1e-8) / 7.0
+    pc = np.clip(np.round(af / s), -7, 7) * s
+    rel_pc = np.abs(af - pc).mean() / (np.abs(af).mean() + 1e-9)
+    assert rel < rel_pc, (rel, rel_pc)
+
+
+def test_int4_scales_shapes():
+    from qwen_tts_tpu.core.weights import (
+        quantize_decoder_weights_int4, init_decoder_weights)
+
+    w = init_decoder_weights(jax.random.PRNGKey(2), CFG)
+    qw = quantize_decoder_weights_int4(w)
+    lw = qw.layers
+    L, H = CFG.num_layers, CFG.hidden_size
+    out_qkv = CFG.q_size + 2 * CFG.kv_size
+    assert lw.wqkv_q.dtype == jnp.int8            # nibble-packed
+    assert lw.wqkv_q.shape == (L, H // 2, out_qkv)
+    assert lw.wqkv_s.shape == (L, H // 128, out_qkv)
+    assert lw.w_down_s.shape == (L, CFG.intermediate_size // 128, H)
+
+
+def test_int4_pack_roundtrip():
+    from qwen_tts_tpu.core.weights import pack_int4, unpack_int4
+
+    rng = np.random.default_rng(0)
+    q = rng.integers(-7, 8, size=(2, 16, 8)).astype(np.int32)
+    packed = pack_int4(jnp.asarray(q))
+    lo, hi = unpack_int4(packed)
+    got = np.concatenate([np.asarray(lo), np.asarray(hi)], axis=1)
+    np.testing.assert_array_equal(got, q)
