@@ -45,6 +45,14 @@ class DecoderConfig:
     max_seq_len: int = 8192
     rope_theta: float = 1e6
     rms_eps: float = 1e-6
+    # M-RoPE (Multimodal RoPE): splits the D//2 rotary frequency indices
+    # into sections with independent position counters. The real talker
+    # config uses [24, 20, 20] — the reference kernel implements only
+    # standard RoPE, which is why its EOS never fires and it needs a
+    # word-count frame cap (reference: README.md:204-208). None = standard
+    # RoPE. When set, decode paths accept an `mrope_pos [3]` of per-section
+    # positions; equal components reproduce standard RoPE bit-exactly.
+    mrope_section: tuple[int, ...] | None = None
 
     @property
     def q_size(self) -> int:

@@ -75,6 +75,33 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
 
+def mrope_rows(cfg: DecoderConfig, rope, mrope_pos: jax.Array, T: int):
+    """Compose [T, D//2] cos/sin rows for M-RoPE.
+
+    `cfg.mrope_section` (e.g. (24, 20, 20)) partitions the D//2 rotary
+    frequency indices; section s rotates by position `mrope_pos[s] + t` for
+    the chunk's t-th token. With all components equal this reproduces
+    standard RoPE bit-exactly — the known reference limitation this lifts
+    (reference: README.md:204-208, docs/02-kernel-adaptation.md)."""
+    d2 = cfg.head_dim // 2
+    secs = cfg.mrope_section
+    assert secs is not None and sum(secs) == d2, (secs, d2)
+    cos_rows = [
+        jax.lax.dynamic_slice(rope.cos, (mrope_pos[i], 0), (T, d2))
+        for i in range(len(secs))]
+    sin_rows = [
+        jax.lax.dynamic_slice(rope.sin, (mrope_pos[i], 0), (T, d2))
+        for i in range(len(secs))]
+    j = jnp.arange(d2)[None, :]                     # [1, d2]
+    cos, sin = cos_rows[-1], sin_rows[-1]
+    bound = d2
+    for i in range(len(secs) - 2, -1, -1):
+        bound -= secs[i + 1]
+        cos = jnp.where(j < bound, cos_rows[i], cos)
+        sin = jnp.where(j < bound, sin_rows[i], sin)
+    return cos, sin
+
+
 def _matmul(x: jax.Array, w: jax.Array) -> jax.Array:
     """bf16 × bf16 → f32 accumulation, matching the CUDA matvec accumulators."""
     return jnp.dot(x.astype(w.dtype), w, preferred_element_type=jnp.float32)
@@ -196,6 +223,7 @@ def forward_chunk(
     state: DecodeState,
     embeds: jax.Array,      # [T, H] — precomputed input embeddings (any float dtype)
     attn_impl: str = "dense",
+    mrope_pos: jax.Array | None = None,   # [3] int32 section positions (M-RoPE)
 ) -> tuple[DecodeState, jax.Array]:
     """Run a T-token chunk through all layers. Returns (state, normed [T,H] f32).
 
@@ -206,13 +234,17 @@ def forward_chunk(
     if attn_impl == "mega" and T == 1:
         from ..ops.decode_step import megakernel_forward
 
-        state, _logits, normed1 = megakernel_forward(cfg, w, state, embeds[0])
+        state, _logits, normed1 = megakernel_forward(
+            cfg, w, state, embeds[0], mrope_pos=mrope_pos)
         return state, normed1[None, :]
     if attn_impl == "mega":
         attn_impl = "dense"      # prefill (T>1) runs the dense mixed path
     pos = state.position
-    cos = jax.lax.dynamic_slice_in_dim(w.rope.cos, pos, T, axis=0)  # [T, D//2]
-    sin = jax.lax.dynamic_slice_in_dim(w.rope.sin, pos, T, axis=0)
+    if cfg.mrope_section is not None and mrope_pos is not None:
+        cos, sin = mrope_rows(cfg, w.rope, mrope_pos, T)
+    else:
+        cos = jax.lax.dynamic_slice_in_dim(w.rope.cos, pos, T, axis=0)  # [T, D//2]
+        sin = jax.lax.dynamic_slice_in_dim(w.rope.sin, pos, T, axis=0)
     x = embeds.astype(jnp.float32)
 
     L = cfg.num_layers
@@ -250,6 +282,7 @@ def decode_step_with_embed(
     state: DecodeState,
     embed: jax.Array,       # [H]
     attn_impl: str = "dense",
+    mrope_pos: jax.Array | None = None,   # [3] int32 (M-RoPE section positions)
 ):
     """One decode step from a precomputed embedding — the `step_with_embed`
     sentinel path (reference: model_tts.py:287-330). Returns
@@ -258,13 +291,17 @@ def decode_step_with_embed(
         if attn_impl == "mega2":
             from ..ops.decode_step_phased import (
                 megakernel_forward_phased as _fwd)
+
+            state, logits, normed1 = _fwd(cfg, w, state, embed)
         else:
             from ..ops.decode_step import megakernel_forward as _fwd
 
-        state, logits, normed1 = _fwd(cfg, w, state, embed)
+            state, logits, normed1 = _fwd(cfg, w, state, embed,
+                                          mrope_pos=mrope_pos)
         token = jnp.argmax(logits).astype(jnp.int32)
         return state, token, normed1
-    state, normed = forward_chunk(cfg, w, state, embed[None, :], attn_impl=attn_impl)
+    state, normed = forward_chunk(cfg, w, state, embed[None, :],
+                                  attn_impl=attn_impl, mrope_pos=mrope_pos)
     logits = lm_head_logits(w, normed)            # [1, V]
     token = jnp.argmax(logits[0]).astype(jnp.int32)
     return state, token, normed[0]
@@ -276,10 +313,12 @@ def decode_step(
     state: DecodeState,
     token_id: jax.Array,    # int32 scalar
     attn_impl: str = "dense",
+    mrope_pos: jax.Array | None = None,
 ):
     """One decode step from a codec token id (reference: model_tts.py:254-285)."""
     embed = w.embed[token_id]
-    return decode_step_with_embed(cfg, w, state, embed, attn_impl=attn_impl)
+    return decode_step_with_embed(cfg, w, state, embed, attn_impl=attn_impl,
+                                  mrope_pos=mrope_pos)
 
 
 def prefill(

@@ -371,6 +371,7 @@ def megakernel_forward(
     embed: jax.Array,        # [H] any float dtype
     chunk: int = ATTN_CHUNK,
     prefetch_chunks: int = PREFETCH_CHUNKS,
+    mrope_pos: jax.Array | None = None,   # [3] int32 (M-RoPE)
 ):
     """One fused decode step. Returns (new_state, logits [V] f32, normed [H] f32)."""
     L, H, Q, KV = cfg.num_layers, cfg.hidden_size, cfg.q_size, cfg.kv_size
@@ -380,8 +381,15 @@ def megakernel_forward(
     check_attn_chunk(S, C)
     pos = state.position
 
-    cos = jax.lax.dynamic_slice_in_dim(w.rope.cos, pos, 1, axis=0)  # [1, D//2]
-    sin = jax.lax.dynamic_slice_in_dim(w.rope.sin, pos, 1, axis=0)
+    if cfg.mrope_section is not None and mrope_pos is not None:
+        # M-RoPE rows are composed OUTSIDE the kernel (XLA-side, free) —
+        # the kernel body is RoPE-scheme-agnostic for single steps.
+        from ..models.decoder import mrope_rows
+
+        cos, sin = mrope_rows(cfg, w.rope, mrope_pos, 1)
+    else:
+        cos = jax.lax.dynamic_slice_in_dim(w.rope.cos, pos, 1, axis=0)  # [1, D//2]
+        sin = jax.lax.dynamic_slice_in_dim(w.rope.sin, pos, 1, axis=0)
 
     P = max(1, min(prefetch_chunks, -(-S // C)))
     kernel = functools.partial(_megakernel, cfg=cfg, chunk=C,

@@ -41,6 +41,7 @@ ROWG = 8  # HBM row-group granularity (sublane tiling)
 def _gen_kernel(
     # scalars
     pos0_ref,         # SMEM [1] int32 — cache entries before step 0
+    mrope_ref,        # SMEM [3] int32 — M-RoPE per-section deltas vs pos
     # per-layer streamed weights (matrices bf16 OR int8 — see scales)
     in_norm_ref, wqkv_ref, q_norm_ref, k_norm_ref,
     wo_ref, post_norm_ref, w_gate_up_ref, w_down_ref,
@@ -190,9 +191,25 @@ def _gen_kernel(
     q = rms(q, q_norm_ref[0])
     k = rms(k, k_norm_ref[0])
 
-    cos = cos_hbm[pos]
-    sin = sin_hbm[pos]
     d2 = D // 2
+    if cfg.mrope_section is None:
+        cos = cos_hbm[pos]
+        sin = sin_hbm[pos]
+    else:
+        # M-RoPE: frequency-index section s rotates by pos + delta[s];
+        # rows are gathered per section and lane-selected (equal deltas
+        # reproduce standard RoPE bit-exactly).
+        secs = cfg.mrope_section
+        j2 = jax.lax.broadcasted_iota(jnp.int32, (1, d2), 1)
+        cos = cos_hbm[pos + mrope_ref[len(secs) - 1]][None, :]
+        sin = sin_hbm[pos + mrope_ref[len(secs) - 1]][None, :]
+        bound = d2
+        for si in range(len(secs) - 2, -1, -1):
+            bound -= secs[si + 1]
+            c_row = cos_hbm[pos + mrope_ref[si]][None, :]
+            s_row = sin_hbm[pos + mrope_ref[si]][None, :]
+            cos = jnp.where(j2 < bound, c_row, cos)
+            sin = jnp.where(j2 < bound, s_row, sin)
 
     def rope(t):
         t1, t2 = t[:, :d2], t[:, d2:]
@@ -389,12 +406,15 @@ def generate_megakernel(
     chunk: int = ATTN_CHUNK,
     prefetch_chunks: int = PREFETCH_CHUNKS,
     copy_cache_in: bool = False,
+    mrope_pos0: jax.Array | None = None,   # [3] int32 M-RoPE start positions
 ):
     """Greedy-decode `num_steps` tokens in one kernel.
 
     Returns (state, tokens [num_steps] int32). The KV cache is updated in
     place (aliased buffers); the final partial row group is landed with one
-    XLA-side update after the kernel.
+    XLA-side update after the kernel. With `cfg.mrope_section` set, step n
+    rotates section s by `mrope_pos0[s] + n` (defaults to the cache
+    position, i.e. standard RoPE).
     """
     L, H = cfg.num_layers, cfg.hidden_size
     KVH, D, V = cfg.num_kv_heads, cfg.head_dim, cfg.vocab_size
@@ -418,9 +438,14 @@ def generate_megakernel(
         sqkv, so_s = ones(wqkv.shape[2]), ones(H)
         sgu, sd = ones(wgu.shape[2]), ones(H)
     embed0 = w.embed[first_token].astype(jnp.float32)[None, :]
+    if mrope_pos0 is None:
+        md = jnp.zeros((3,), jnp.int32)
+    else:
+        md = jnp.asarray(mrope_pos0, jnp.int32) - jnp.asarray(pos0, jnp.int32)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),     # pos0
+        pl.BlockSpec(memory_space=pltpu.SMEM),     # mrope deltas
         _layer_spec((L, 1, H)),
         _layer_spec(wqkv.shape),
         _layer_spec((L, 1, D)),
@@ -465,7 +490,7 @@ def generate_megakernel(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        input_output_aliases={19: 0, 20: 1},       # cache in → cache out
+        input_output_aliases={20: 0, 21: 1},       # cache in → cache out
         scratch_shapes=[
             pltpu.VMEM((1, H), jnp.float32),                      # x
             pltpu.VMEM((ROWG, H), jnp.bfloat16),                  # emb8
@@ -488,6 +513,7 @@ def generate_megakernel(
         ),
     )(
         jnp.asarray(pos0, jnp.int32).reshape(1),
+        md,
         lw.input_norm[:, None, :], wqkv,
         lw.q_norm[:, None, :], lw.k_norm[:, None, :],
         wo_m, lw.post_norm[:, None, :], wgu, wd,

@@ -1,10 +1,20 @@
-"""Vocoder weight persistence (flat-key safetensors of the pytree).
+"""Vocoder weight persistence + checkpoint conversion.
 
-The real Qwen3-TTS speech-tokenizer checkpoint format lives in the external
-`qwen-tts` package (reference: tts_engine.py:158-209); this loader handles
-this framework's own serialized format plus a best-effort mapping hook for
-converted checkpoints. Missing/unloadable weights → the engine degrades to
-silence, mirroring the reference (tts_engine.py:204-209).
+The reference gets its vocoder from the external `qwen-tts` package
+(reference: tts_engine.py:158-209) whose model code is not part of the
+reference repo; `vocoder/model.py` here is an ORIGINAL TPU-native codec
+decoder with the same I/O contract (16-group codes @12.5 Hz → 24 kHz PCM),
+not a port of the closed `Qwen3TTSTokenizerV2Model` architecture.
+
+Loading therefore supports two sources:
+  1. this framework's own flat-key safetensors (exact key-set match), and
+  2. `convert_vocoder_state` — a documented best-effort mapper for
+     externally-converted checkpoints: keys are normalized by stripping
+     known prefixes (`speech_tokenizer.`, `model.`, `decoder.`), matched
+     exactly first, then by unique shape. Conversion only succeeds when
+     every template leaf resolves unambiguously; anything else returns
+     None and the engine degrades to random-init or silence, mirroring the
+     reference's vocoder-unavailable mode (tts_engine.py:204-209).
 """
 
 from __future__ import annotations
@@ -16,6 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .model import VocoderConfig, VocoderWeights, init_vocoder_weights
+
+_STRIP_PREFIXES = ("speech_tokenizer.", "model.", "decoder.")
 
 
 def _flatten(tree, prefix=""):
@@ -31,14 +43,75 @@ def _flatten(tree, prefix=""):
     return out
 
 
+def _rebuild(template, flat: dict[str, np.ndarray]):
+    def rec(tree, prefix=""):
+        if isinstance(tree, tuple) and not hasattr(tree, "_fields"):
+            return tuple(rec(v, f"{prefix}{i}.") for i, v in enumerate(tree))
+        if hasattr(tree, "_fields"):
+            return type(tree)(*(
+                rec(getattr(tree, n), f"{prefix}{n}.") for n in tree._fields))
+        return jnp.asarray(flat[prefix[:-1]], dtype=np.asarray(tree).dtype)
+
+    return rec(template)
+
+
 def save_vocoder(path: str, w: VocoderWeights):
     from safetensors.numpy import save_file
 
     save_file(_flatten(w), path)
 
 
+def _normalize_keys(state: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out = {}
+    for k, v in state.items():
+        for p in _STRIP_PREFIXES:
+            if k.startswith(p):
+                k = k[len(p):]
+        out[k] = v
+    return out
+
+
+def convert_vocoder_state(
+    state: dict[str, np.ndarray], cfg: VocoderConfig,
+) -> VocoderWeights | None:
+    """Best-effort mapping of an external flat state dict onto the vocoder
+    pytree. Strategy, in order, per template leaf:
+
+    1. exact key match after prefix normalization;
+    2. unique-shape match among unclaimed tensors (safe because conversion
+       aborts to None on ANY ambiguity — two unclaimed tensors of the same
+       shape — rather than guessing).
+
+    Returns None unless every leaf resolves.
+    """
+    template = init_vocoder_weights(jax.random.PRNGKey(0), cfg)
+    ref = _flatten(template)
+    src = _normalize_keys(state)
+
+    resolved: dict[str, np.ndarray] = {}
+    unclaimed = dict(src)
+    missing = []
+    for key, proto in ref.items():
+        if key in unclaimed:
+            if unclaimed[key].shape != proto.shape:
+                return None
+            resolved[key] = unclaimed.pop(key)
+        else:
+            missing.append(key)
+    for key in missing:
+        proto = ref[key]
+        candidates = [k for k, v in unclaimed.items() if v.shape == proto.shape]
+        if len(candidates) != 1:
+            return None
+        resolved[key] = unclaimed.pop(candidates[0])
+    return _rebuild(template, resolved)
+
+
 def load_vocoder(path: str, cfg: VocoderConfig) -> VocoderWeights | None:
-    """Load from `<path>` (file) or `<path>/vocoder.safetensors`. None on failure."""
+    """Load from `<path>` (file) or `<path>/vocoder.safetensors`.
+
+    Tries the native format first, then `convert_vocoder_state`. Returns
+    None on any failure (the engine then degrades, never raises)."""
     if os.path.isdir(path):
         path = os.path.join(path, "vocoder.safetensors")
     if not os.path.exists(path):
@@ -49,17 +122,10 @@ def load_vocoder(path: str, cfg: VocoderConfig) -> VocoderWeights | None:
         flat = load_file(path)
         template = init_vocoder_weights(jax.random.PRNGKey(0), cfg)
         ref = _flatten(template)
-        if set(ref) != set(flat):
-            return None
-
-        def rebuild(tree, prefix=""):
-            if isinstance(tree, tuple) and not hasattr(tree, "_fields"):
-                return tuple(rebuild(v, f"{prefix}{i}.") for i, v in enumerate(tree))
-            if hasattr(tree, "_fields"):
-                return type(tree)(*(
-                    rebuild(getattr(tree, n), f"{prefix}{n}.") for n in tree._fields))
-            return jnp.asarray(flat[prefix[:-1]])
-
-        return rebuild(template)
+        if set(ref) == set(flat):
+            if any(flat[k].shape != ref[k].shape for k in ref):
+                return None
+            return _rebuild(template, flat)
+        return convert_vocoder_state(flat, cfg)
     except Exception:
         return None

@@ -53,3 +53,48 @@ def test_save_load_roundtrip(tmp_path):
 
 def test_load_missing_returns_none(tmp_path):
     assert load_vocoder(os.path.join(tmp_path, "nope.safetensors"), CFG) is None
+
+
+def test_convert_prefixed_checkpoint(tmp_path):
+    """An externally-converted checkpoint with `speech_tokenizer.` prefixes
+    loads through the converter path."""
+    from safetensors.numpy import save_file
+    from qwen_tts_tpu.vocoder.loader import _flatten
+
+    w = init_vocoder_weights(jax.random.PRNGKey(4), CFG)
+    flat = {f"speech_tokenizer.{k}": v for k, v in _flatten(w).items()}
+    path = os.path.join(tmp_path, "vocoder.safetensors")
+    save_file(flat, path)
+    w2 = load_vocoder(path, CFG)
+    assert w2 is not None
+    codes = jax.random.randint(jax.random.PRNGKey(5), (3, 16), 0, 2048)
+    np.testing.assert_array_equal(
+        np.asarray(vocoder_decode(CFG, w, codes)),
+        np.asarray(vocoder_decode(CFG, w2, codes)))
+
+
+def test_convert_shape_matched_checkpoint(tmp_path):
+    """Foreign key names resolve by unique shape; truly ambiguous or
+    missing tensors abort to None instead of guessing."""
+    from safetensors.numpy import save_file
+    from qwen_tts_tpu.vocoder.loader import convert_vocoder_state, _flatten
+
+    w = init_vocoder_weights(jax.random.PRNGKey(6), CFG)
+    flat = _flatten(w)
+    # rename the uniquely-shaped code-embedding tensor to a foreign name
+    foreign = dict(flat)
+    foreign["quantizer.embeddings"] = foreign.pop("code_embeds")
+    w2 = convert_vocoder_state(foreign, CFG)
+    assert w2 is not None
+    np.testing.assert_array_equal(
+        np.asarray(w2.code_embeds), flat["code_embeds"])
+
+    # dropping a tensor entirely → None
+    broken = dict(flat)
+    broken.pop("code_embeds")
+    assert convert_vocoder_state(broken, CFG) is None
+
+    # wrong shape under an exact key → None
+    bad = dict(flat)
+    bad["code_embeds"] = bad["code_embeds"][:, :8, :]
+    assert convert_vocoder_state(bad, CFG) is None

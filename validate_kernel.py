@@ -11,7 +11,14 @@ Cases (reference: validate_kernel.py:378-406):
   1. greedy decode from CODEC_BOS
   2. decode with a CODEC_PAD prefix
   3. step_with_embed with random embeddings
-"""
+
+Quantized backends (`--backend megagen-int8|megagen-int8g|megagen-int4`)
+run a COUPLED teacher-forced comparison instead: the bf16 oracle's greedy
+trajectory drives both models, and each step reports argmax agreement and
+final-hidden cosine vs the oracle. The same two-tier acceptance bar is
+applied and reported honestly — weight quantization is expected to sit
+below the bf16-ties tier on random weights; the recorded numbers are the
+evidence (VERDICT r1 item 3)."""
 
 from __future__ import annotations
 
@@ -53,15 +60,89 @@ def compare_case(name, cfg, w, steps, inputs, verbose=False):
     return rate, min(cosines)
 
 
+def validate_quantized(args):
+    """Coupled teacher-forced validation of a quantized decode mode.
+
+    The bf16 oracle decodes greedily from CODEC_BOS; its token trajectory
+    teacher-forces the quantized megakernel, so each step compares the two
+    models on an identical prefix (reference methodology:
+    validate_kernel.py:204-258, acceptance policy :413-435)."""
+    from qwen_tts_tpu.core.config import CODEC_BOS, DecoderConfig
+    from qwen_tts_tpu.core.weights import (
+        init_decoder_weights,
+        quantize_decoder_weights,
+        quantize_decoder_weights_int4,
+    )
+    from qwen_tts_tpu.models import decoder as oracle
+    from qwen_tts_tpu.models.decoder import init_state
+
+    cfg = DecoderConfig(max_seq_len=args.max_seq)
+    w = init_decoder_weights(jax.random.PRNGKey(args.seed), cfg)
+    qw = {
+        "megagen-int8": lambda: quantize_decoder_weights(w),
+        "megagen-int8g": lambda: quantize_decoder_weights(w, group_size=128),
+        "megagen-int4": lambda: quantize_decoder_weights_int4(w),
+    }[args.backend]()
+
+    step_o = jax.jit(functools.partial(oracle.decode_step_with_embed, cfg))
+    step_q = jax.jit(functools.partial(
+        oracle.decode_step_with_embed, cfg, attn_impl="mega"))
+
+    so, sq = init_state(cfg), init_state(cfg)
+    tok = jnp.int32(CODEC_BOS)
+    matches, cosines, max_diffs = 0, [], []
+    for i in range(args.steps):
+        e = w.embed[tok]
+        so, to, ho = step_o(w, so, e)
+        sq, tq, hq = step_q(qw, sq, e)
+        a, b = np.asarray(ho), np.asarray(hq)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+        cosines.append(cos)
+        max_diffs.append(float(np.abs(a - b).max()))
+        if int(to) == int(tq):
+            matches += 1
+        elif args.verbose:
+            print(f"  step {i}: token mismatch oracle={int(to)} quant={int(tq)}")
+        tok = to  # teacher-force the oracle trajectory into both models
+
+    rate = matches / args.steps
+    cmin = min(cosines)
+    cmean = sum(cosines) / len(cosines)
+    print(f"[{args.backend} coupled x{args.steps}] tokens {matches}/{args.steps} "
+          f"({rate:.1%})  cos min {cmin:.6f} mean {cmean:.6f}  "
+          f"max|Δh| {max(max_diffs):.4f}")
+    if rate == 1.0 and cmin > 0.99:
+        print("PASS: exact token match, cos > 0.99")
+    elif cmin > 0.995:
+        print(f"PASS (tolerated): token rate {rate:.1%}, cos {cmin:.5f} — "
+              f"bf16 argmax ties, acceptable for TTS")
+    else:
+        print(f"BELOW TIER (expected for weight quantization on random "
+              f"weights): token rate {rate:.1%}, cos min {cmin:.5f} — "
+              f"record in docs; not a kernel bug if cos mean is high")
+        sys.exit(1)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--max-seq", type=int, default=2048)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--backend", default="mega",
+                   choices=["mega", "megagen-int8", "megagen-int8g",
+                            "megagen-int4"],
+                   help="mega = bf16 kernel vs oracle (reference cases); "
+                        "quantized backends run the coupled comparison")
     p.add_argument("--reference-only", action="store_true",
                    help="run only the oracle (no Pallas), as a smoke test")
     args = p.parse_args()
+
+    if args.backend != "mega" and not args.reference_only:
+        if args.steps < 128:
+            args.steps = 128     # quantized acceptance needs >=128 steps
+        validate_quantized(args)
+        return
 
     from qwen_tts_tpu.core.config import CODEC_BOS, CODEC_PAD, DecoderConfig
     from qwen_tts_tpu.core.weights import init_decoder_weights
