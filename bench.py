@@ -124,9 +124,16 @@ def bench_engine(args):
             total += len(audio)
         return time.perf_counter() - t0, total
 
-    # warm each signature (trailing buckets) once before timing
+    from qwen_tts_tpu.utils.timing import drain_device
+
+    # warm each signature (trailing buckets) once before timing; drain the
+    # device queue between runs — an aclose()d stream leaves a speculative
+    # chunk in flight that would otherwise delay the next run's dispatch
     asyncio.run(ttfc_once(short))
-    best_ttfc = min(asyncio.run(ttfc_once(short)) for _ in range(args.runs))
+    best_ttfc = float("inf")
+    for _ in range(args.runs):
+        drain_device()
+        best_ttfc = min(best_ttfc, asyncio.run(ttfc_once(short)))
     emit("ttfc_ms", best_ttfc * 1000, "ms", 81.6 / (best_ttfc * 1000))
 
     eng.synthesize(longer)  # warm
@@ -161,7 +168,7 @@ def main():
     p.add_argument("--quantize", action="store_true")
     p.add_argument("--backend", default="megagen-int8",
                    choices=["megagen", "megagen-int8", "megagen-int4",
-                            "mega", "mega2", "pallas", "dense"])
+                            "mega", "pallas", "dense"])
     args = p.parse_args()
 
     if args.mode in ("full", "engine"):

@@ -49,11 +49,14 @@ def main():
     eng.initialize()
     print(f"initialize: {time.perf_counter() - t0:.1f}s (cold, incl. compile)")
 
+    from qwen_tts_tpu.utils.timing import drain_device
+
     # warm the utterance's trailing bucket
     asyncio.run(ttfc_once(eng, args.text))
 
     best = float("inf")
     for _ in range(args.runs):
+        drain_device()   # fence the previous run's speculative chunk
         dt, nsamp = asyncio.run(ttfc_once(eng, args.text))
         best = min(best, dt)
     print(f"streaming TTFC: {best * 1000:.1f} ms (first chunk = {nsamp} samples) "
@@ -73,6 +76,7 @@ def main():
     ids = np.zeros(Tpad, dtype=np.int32)
     ids[:len(content)] = content
     key = jax.device_put(jax.random.PRNGKey(0))
+    drain_device()
     t = time.perf_counter()
     ids_dev, n_dev = jax.device_put((ids, np.int32(len(content))))
     out = eng._first_audio_fn(ids_dev, n_dev, key)

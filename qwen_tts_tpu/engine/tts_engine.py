@@ -387,6 +387,77 @@ class TTSEngine:
         if buffer:
             yield self._decode_to_audio(buffer)
 
+    def synthesize_batch(
+        self, texts: list[str], mesh=None,
+    ) -> list[tuple[np.ndarray, int]]:
+        """Batched non-streaming synthesis — a TPU-first extension (the
+        reference is strictly batch-1, SURVEY.md §2.3). B utterances run as
+        one vmapped prefill + one vmapped frames dispatch on the dense path;
+        with a `jax.sharding.Mesh` carrying a "dp" axis, the batch is
+        data-parallel across devices (utterances are independent, so no
+        collectives are inserted)."""
+        self.initialize()
+        if not texts:
+            return []
+        cfg, mc = self.config, self.model_config
+        from ..runtime.batch import batched_frames, batched_prefill
+
+        prefills, trailings, tlens, caps = [], [], [], []
+        for text in texts:
+            pe, tr, tl = self._build_prefill(text)
+            prefills.append(pe)
+            trailings.append(tr)
+            tlens.append(tl)
+            words = max(len(text.split()), 1)
+            caps.append(min(max(int(words / 2.5 * 12.5 * 2.0), 25),
+                            cfg.max_new_tokens))
+        B = len(texts)
+        Tmax = max(t.shape[0] for t in trailings)
+        trailing = jnp.stack([
+            jnp.pad(t, ((0, Tmax - t.shape[0]), (0, 0))) for t in trailings])
+        prefill_embeds = jnp.stack(prefills)
+        tlen = jnp.asarray(tlens, jnp.int32)
+        max_frames = max(caps)
+
+        self._rng, loop_rng = jax.random.split(self._rng)
+        rngs = jax.random.split(loop_rng, B)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = mesh.shape.get("dp", 1)
+            if B % dp:
+                raise ValueError(
+                    f"batch size {B} must be divisible by the mesh dp "
+                    f"axis ({dp}); pad the text list")
+            dpB = NamedSharding(mesh, P("dp"))
+            dpR = lambda nd: NamedSharding(mesh, P("dp", *([None] * nd)))
+            prefill_embeds = jax.device_put(prefill_embeds, dpR(2))
+            trailing = jax.device_put(trailing, dpR(2))
+            tlen = jax.device_put(tlen, dpB)
+            rngs = jax.device_put(rngs, dpR(1))
+
+        state, tok, hid = batched_prefill(
+            mc.talker, self.weights.talker, prefill_embeds, attn_impl="dense")
+        state, codes, valid, tok, hid = batched_frames(
+            mc.talker, mc.code_predictor,
+            self.weights.talker, self.weights.code_predictor,
+            state, tok, hid, trailing, tlen,
+            jnp.zeros((B,), jnp.int32), self._tts_pad_embed, rngs,
+            num_frames=max_frames, do_sample=cfg.subtalker_do_sample,
+            temperature=cfg.subtalker_temperature,
+            top_k=cfg.subtalker_top_k, attn_impl="dense")
+
+        codes_np, valid_np = jax.device_get((codes, valid))
+        results = []
+        for b in range(B):
+            keep = min(int(valid_np[b].sum()), caps[b])
+            frames = [codes_np[b, i] for i in range(keep)]
+            results.append(self._decode_to_audio(frames))
+        self._frames_generated = int(sum(min(int(v.sum()), c)
+                                         for v, c in zip(valid_np, caps)))
+        return results
+
     # ── core generation loop ─────────────────────────────────────────────
 
     def _build_prefill(self, text: str):
@@ -472,8 +543,6 @@ class TTSEngine:
             codes, valid, audio, n, base = q.popleft()
             if base >= max_frames:
                 break
-            if planned < max_frames:
-                enqueue(chunk_size)                  # keep the pipe full
             codes_np, valid_np, audio_np = jax.device_get((codes, valid, audio))
             keep = min(int(valid_np.sum()), max_frames - base)
             frames = [codes_np[i] for i in range(keep)]
@@ -481,6 +550,11 @@ class TTSEngine:
             self._frames_generated = produced
             if keep == n:
                 yield audio_np[: keep * hop].astype(np.float32), frames
+                # keep the pipe depth-1 full — enqueued AFTER the yield so
+                # an early generator close (e.g. a TTFC probe) leaves at
+                # most ONE speculative chunk on the device, not two
+                if planned < max_frames:
+                    enqueue(chunk_size)
             else:
                 if keep > 0:
                     audio_exact, _ = self._decode_to_audio(frames)

@@ -138,13 +138,14 @@ def _decode_attn_kernel(
     out_ref[:] = acc_f / l_f
 
 
-def _build_call(HQ, KVH, S, D, dtype, chunk):
+def _build_call(HQ, KVH, S, D, dtype, chunk, interpret=False):
     gqa = HQ // KVH
     scale = 1.0 / (D ** 0.5)
     kernel = functools.partial(
         _decode_attn_kernel, chunk=chunk, kv_heads=KVH, gqa=gqa, scale=scale)
     return pl.pallas_call(
         kernel,
+        interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((HQ, D), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # [pos, layer]
@@ -172,6 +173,7 @@ def decode_attention(
     layer_idx: jax.Array,  # int32 scalar
     position: jax.Array,   # int32 scalar — number of OLD cache entries
     chunk: int = 256,
+    interpret: bool = False,
 ) -> jax.Array:
     """Single-token GQA decode attention over cache prefix + current token.
 
@@ -180,7 +182,7 @@ def decode_attention(
     HQ, D = q.shape
     _, KVH, S, _ = k_cache.shape
     chunk = min(chunk, S)
-    call = _build_call(HQ, KVH, S, D, k_cache.dtype, chunk)
+    call = _build_call(HQ, KVH, S, D, k_cache.dtype, chunk, interpret)
     idx = jnp.stack([jnp.asarray(position, jnp.int32),
                      jnp.asarray(layer_idx, jnp.int32)])
     return call(idx, q, k_new.astype(jnp.float32), v_new.astype(jnp.float32),

@@ -363,7 +363,8 @@ def check_attn_chunk(S: int, C: int) -> None:
             f"({C}); set QWEN_TTS_TPU_ATTN_CHUNK or pad max_seq_len")
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "chunk", "prefetch_chunks"))
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk", "prefetch_chunks",
+                                             "interpret"))
 def megakernel_forward(
     cfg: DecoderConfig,
     w: DecoderWeights,
@@ -372,6 +373,7 @@ def megakernel_forward(
     chunk: int = ATTN_CHUNK,
     prefetch_chunks: int = PREFETCH_CHUNKS,
     mrope_pos: jax.Array | None = None,   # [3] int32 (M-RoPE)
+    interpret: bool = False,              # Pallas interpret mode (CPU tests)
 ):
     """One fused decode step. Returns (new_state, logits [V] f32, normed [H] f32)."""
     L, H, Q, KV = cfg.num_layers, cfg.hidden_size, cfg.q_size, cfg.kv_size
@@ -441,6 +443,7 @@ def megakernel_forward(
 
     k_new, v_new, normed, logits = pl.pallas_call(
         kernel,
+        interpret=interpret,
         grid=(L,),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -395,7 +395,7 @@ def _const_spec(shape):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_steps", "chunk",
                                              "prefetch_chunks",
-                                             "copy_cache_in"),
+                                             "copy_cache_in", "interpret"),
                    donate_argnames=("state",))
 def generate_megakernel(
     cfg: DecoderConfig,
@@ -407,6 +407,7 @@ def generate_megakernel(
     prefetch_chunks: int = PREFETCH_CHUNKS,
     copy_cache_in: bool = False,
     mrope_pos0: jax.Array | None = None,   # [3] int32 M-RoPE start positions
+    interpret: bool = False,               # Pallas interpret mode (CPU tests)
 ):
     """Greedy-decode `num_steps` tokens in one kernel.
 
@@ -486,6 +487,7 @@ def generate_megakernel(
 
     k_cache, v_cache, tokens, _normed, tail_k, tail_v = pl.pallas_call(
         kernel,
+        interpret=interpret,
         grid=(N, L),
         in_specs=in_specs,
         out_specs=out_specs,

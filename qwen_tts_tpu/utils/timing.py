@@ -25,6 +25,19 @@ def sync(x) -> None:
         np.asarray(leaves[0])
 
 
+def drain_device() -> None:
+    """Wait for ALL previously enqueued device work to finish.
+
+    TPU executes programs in submission order, so reading back a fresh tiny
+    computation fences everything before it — including speculative chunks
+    a closed streaming generator left in flight. Latency probes (TTFC) must
+    call this between runs or they measure queue contention from their own
+    previous run, not time-to-first-chunk."""
+    import jax.numpy as jnp
+
+    np.asarray(jnp.zeros((8,), jnp.float32) + 1.0)
+
+
 @contextmanager
 def timed(label: str = "", results: dict | None = None):
     t0 = time.perf_counter()

@@ -26,13 +26,9 @@ def _gen_interpret(w, state, first_token, n):
     import jax.experimental.pallas as pl
     from qwen_tts_tpu.ops import generate_kernel as gk
 
-    orig = pl.pallas_call
-    try:
-        pl.pallas_call = functools.partial(orig, interpret=True)
-        return gk.generate_megakernel.__wrapped__(
-            CFG, w, state, first_token, n, chunk=64, copy_cache_in=True)
-    finally:
-        pl.pallas_call = orig
+    return gk.generate_megakernel.__wrapped__(
+        CFG, w, state, first_token, n, chunk=64, copy_cache_in=True,
+        interpret=True)
 
 
 def test_generate_matches_oracle(w):
@@ -105,14 +101,9 @@ def test_generate_quantized_matches_dequantized_oracle(w):
     import jax.experimental.pallas as pl
     from qwen_tts_tpu.ops import generate_kernel as gk
 
-    orig = pl.pallas_call
-    try:
-        pl.pallas_call = functools.partial(orig, interpret=True)
-        state_m, tokens = gk.generate_megakernel.__wrapped__(
-            CFG, qw, init_state(CFG), jnp.int32(5), n, chunk=64,
-            copy_cache_in=True)
-    finally:
-        pl.pallas_call = orig
+    state_m, tokens = gk.generate_megakernel.__wrapped__(
+        CFG, qw, init_state(CFG), jnp.int32(5), n, chunk=64,
+        copy_cache_in=True, interpret=True)
     got = [int(t) for t in np.asarray(tokens)]
     matches = sum(a == b for a, b in zip(oracle_tokens, got))
     assert matches >= n - 1, f"oracle {oracle_tokens} vs quant {got}"

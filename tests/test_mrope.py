@@ -100,12 +100,6 @@ def test_unequal_sections_change_attention(w):
                                rtol=2e-2, atol=2e-2)
 
 
-def _interpret_pallas():
-    import jax.experimental.pallas as pl
-
-    return functools.partial(pl.pallas_call, interpret=True)
-
-
 def test_megakernel_mrope_matches_oracle(w):
     """Single-step megakernel with unequal section positions vs the dense
     oracle on the same positions (interpret mode)."""
@@ -123,15 +117,10 @@ def test_megakernel_mrope_matches_oracle(w):
     state_o2, tok_o, h_o = decode_step_with_embed(CFG, w, state_o, e,
                                                   mrope_pos=mpos)
 
-    orig = pl.pallas_call
-    try:
-        pl.pallas_call = _interpret_pallas()
-        state_m = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x,
-                               state_o)
-        state_m2, logits, h_m = ds.megakernel_forward.__wrapped__(
-            CFG, w, state_m, e, chunk=64, mrope_pos=mpos)
-    finally:
-        pl.pallas_call = orig
+    state_m = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x,
+                           state_o)
+    state_m2, logits, h_m = ds.megakernel_forward.__wrapped__(
+        CFG, w, state_m, e, chunk=64, mrope_pos=mpos, interpret=True)
     tok_m = int(jnp.argmax(logits))
 
     a, b = np.asarray(h_o), np.asarray(h_m)
@@ -168,16 +157,11 @@ def test_generate_kernel_mrope_matches_oracle(w):
             CFG, w, state_o, e, mrope_pos=mp0 + i)
         oracle_tokens.append(int(tok))
 
-    orig = pl.pallas_call
-    try:
-        pl.pallas_call = _interpret_pallas()
-        state_m = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x,
-                               state_w)
-        state_m, tokens = gk.generate_megakernel.__wrapped__(
-            CFG, w, state_m, first, n, chunk=64,
-            copy_cache_in=True, mrope_pos0=mp0)
-    finally:
-        pl.pallas_call = orig
+    state_m = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x,
+                           state_w)
+    state_m, tokens = gk.generate_megakernel.__wrapped__(
+        CFG, w, state_m, first, n, chunk=64,
+        copy_cache_in=True, mrope_pos0=mp0, interpret=True)
     got = [int(t) for t in np.asarray(tokens)]
     matches = sum(a == b for a, b in zip(oracle_tokens, got))
     assert matches >= n - 1, f"oracle {oracle_tokens} vs kernel {got}"

@@ -98,3 +98,49 @@ def test_hidden_consumed_by_forward_chunk_matches_embed_mode(tiny_cfg, tiny_weig
 
     assert int(t1) == int(t2)
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5, atol=1e-5)
+
+
+def test_bounded_mixed_attention_matches_reference():
+    """The bounded (fori_loop over 256-blocks) old-cache pass must equal a
+    full masked-softmax reference for arbitrary start positions."""
+    from qwen_tts_tpu.core.config import DecoderConfig
+    from qwen_tts_tpu.models.decoder import _dense_mixed_attention
+
+    cfg = DecoderConfig(num_layers=1, hidden_size=64, intermediate_size=64,
+                        num_q_heads=4, num_kv_heads=2, head_dim=16,
+                        vocab_size=32, max_seq_len=512)
+    T, S, d = 3, 512, cfg.head_dim
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((T, cfg.num_q_heads, d)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((T, cfg.num_kv_heads, d)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((T, cfg.num_kv_heads, d)), jnp.float32)
+    k_old = jnp.asarray(rng.standard_normal((cfg.num_kv_heads, S, d)),
+                        jnp.float32).astype(jnp.bfloat16)
+    v_old = jnp.asarray(rng.standard_normal((cfg.num_kv_heads, S, d)),
+                        jnp.float32).astype(jnp.bfloat16)
+
+    def reference(start):
+        g = cfg.gqa_groups
+        qh = np.asarray(q).transpose(1, 0, 2).reshape(cfg.num_kv_heads, g, T, d)
+        kf = np.asarray(k_old.astype(jnp.float32))
+        vf = np.asarray(v_old.astype(jnp.float32))
+        kcn = np.asarray(kc).transpose(1, 0, 2)
+        vcn = np.asarray(vc).transpose(1, 0, 2)
+        scale = 1.0 / np.sqrt(d)
+        s_old = np.einsum("hgtd,hsd->hgts", qh, kf) * scale
+        s_old[:, :, :, start:] = -np.inf
+        s_new = np.einsum("hgtd,hud->hgtu", qh, kcn) * scale
+        for t in range(T):
+            s_new[:, :, t, t + 1:] = -np.inf
+        s = np.concatenate([s_old, s_new], axis=-1)
+        p = np.exp(s - s.max(axis=-1, keepdims=True))
+        p /= p.sum(axis=-1, keepdims=True)
+        attn = (np.einsum("hgts,hsd->hgtd", p[..., :S], vf)
+                + np.einsum("hgtu,hud->hgtd", p[..., S:], vcn))
+        return attn.reshape(cfg.num_q_heads, T, d).transpose(1, 0, 2).reshape(
+            T, cfg.num_q_heads * d)
+
+    for start in (0, 1, 255, 256, 300, 509):
+        got = np.asarray(_dense_mixed_attention(
+            cfg, q, kc, vc, k_old, v_old, jnp.int32(start)))
+        np.testing.assert_allclose(got, reference(start), rtol=2e-2, atol=2e-2)
