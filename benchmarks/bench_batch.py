@@ -1,0 +1,90 @@
+"""Aggregate serving throughput: B concurrent streams on ONE chip.
+
+The reference is strictly batch-1 (SURVEY.md §2.3). On TPU, batching is the
+natural way past the weight-bandwidth wall: a decode step is bandwidth-bound,
+so B streams share each weight read and aggregate tok/s scales until compute
+or KV-cache traffic catches up. This measures the vmapped dense frame path
+(`runtime/batch.py`) — full frames (1 talker token + 15 CP codes + trailing
+embed feedback), i.e. real end-to-end serving work, not just talker steps.
+
+Prints per-B lines plus a summary of aggregate frames/s and per-stream RTF
+(streams are real-time while aggregate_frames_per_s / B >= 12.5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen_tts_tpu.core.config import TTSModelConfig
+from qwen_tts_tpu.core.weights import init_tts_weights
+from qwen_tts_tpu.runtime.batch import batched_frames, batched_prefill
+from qwen_tts_tpu.utils.timing import sync
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-sizes", type=int, nargs="+",
+                    default=[1, 2, 4, 8])
+    ap.add_argument("--max-seq", type=int, default=1024)
+    ap.add_argument("--chunk-frames", type=int, default=10)
+    ap.add_argument("--chunks", type=int, default=8,
+                    help="timed chunk dispatches per batch size")
+    ap.add_argument("--trailing", type=int, default=64)
+    args = ap.parse_args()
+
+    import dataclasses as dc
+    mc = TTSModelConfig()
+    mc = dc.replace(mc, talker=dc.replace(mc.talker, max_seq_len=args.max_seq))
+    w = init_tts_weights(jax.random.PRNGKey(0), mc)
+    H = mc.talker.hidden_size
+    pad = jnp.zeros((H,), jnp.float32)
+    frame_rate = mc.frame_rate_hz
+
+    results = []
+    for B in args.batch_sizes:
+        prefill = jnp.zeros((B, 8, H), jnp.bfloat16)
+        trailing = jnp.zeros((B, args.trailing, H), jnp.bfloat16)
+        tlen = jnp.full((B,), args.trailing, jnp.int32)
+        rngs = jax.random.split(jax.random.PRNGKey(1), B)
+
+        state, tok, hid = batched_prefill(mc.talker, w.talker, prefill)
+        idx0 = jnp.zeros((B,), jnp.int32)
+        # warm (compile) one chunk
+        state, codes, valid, tok, hid = batched_frames(
+            mc.talker, mc.code_predictor, w.talker, w.code_predictor,
+            state, tok, hid, trailing, tlen, idx0, pad, rngs,
+            num_frames=args.chunk_frames)
+        idx0 = idx0 + args.chunk_frames
+        sync(codes)
+
+        t0 = time.perf_counter()
+        for _ in range(args.chunks):
+            state, codes, valid, tok, hid = batched_frames(
+                mc.talker, mc.code_predictor, w.talker, w.code_predictor,
+                state, tok, hid, trailing, tlen, idx0, pad, rngs,
+                num_frames=args.chunk_frames)
+            idx0 = idx0 + args.chunk_frames
+        sync(codes)
+        dt = time.perf_counter() - t0
+
+        frames = args.chunks * args.chunk_frames * B
+        fps = frames / dt
+        per_stream = fps / B
+        rtf = frame_rate / per_stream
+        results.append((B, fps, per_stream, rtf))
+        print(f"B={B:3d}  aggregate {fps:8.1f} frames/s  "
+              f"per-stream {per_stream:6.1f} frames/s  RTF {rtf:.3f}  "
+              f"({'real-time' if rtf < 1 else 'NOT real-time'})")
+
+    best = max(results, key=lambda r: r[1] if r[3] < 1 else -1)
+    print(f"\nbest real-time config: B={best[0]} -> {best[1]:.1f} frames/s "
+          f"aggregate ({best[1] * 60 / frame_rate / 60:.1f}x real-time total)")
+
+
+if __name__ == "__main__":
+    main()

@@ -46,7 +46,12 @@ from ..core.weights import TTSWeights, init_tts_weights, load_tts_weights
 from ..models.decoder import init_state
 from ..models.text_projection import embed_text_ids
 from ..runtime.frame_loop import frame_step, frames_chunk, talker_prefill
-from ..vocoder.loader import load_vocoder
+from ..vocoder.code2wav import (
+    Code2WavConfig,
+    code2wav_apply,
+    init_code2wav_weights,
+)
+from ..vocoder.loader import load_code2wav, load_vocoder
 from ..vocoder.model import (
     VocoderConfig,
     init_vocoder_weights,
@@ -80,6 +85,15 @@ class TTSConfig:
     seed: int = 0
     max_seq_len: int = 8192               # talker KV-cache length
     vocoder_mode: str = "auto"            # auto | random | silence
+    # Vocoder backend: "fast" = this repo's lightweight codec decoder
+    # (vocoder/model.py); "code2wav" = the faithful port of the public
+    # Qwen3-Omni Code2Wav architecture (vocoder/code2wav.py) — same model
+    # family as the reference's Qwen3TTSTokenizerV2 speech tokenizer.
+    vocoder_backend: str = "fast"
+    vocoder_dtype: str = "float32"        # code2wav only: float32 | bfloat16
+    code2wav_config: Optional[Code2WavConfig] = None  # override (tests/tuning)
+    code2wav_window: int = 160            # non-streaming decode window (frames)
+    code2wav_ctx: int = 25                # left-context frames (upstream: 25)
     trailing_bucket: int = 64
     backend: str = "auto"                 # auto | dense | pallas | mega
     fused_chunks: bool = True             # one dispatch per audio chunk
@@ -172,8 +186,11 @@ class TTSEngine:
         vc = self.vocoder_config
         attn_impl = self._attn_impl
         has_vocoder = self.vocoder_weights is not None
+        voc = self._voc_frames_decode
+        use_ctx = self._voc_kind == "code2wav"  # left-context chunk decode
 
-        def fn(tw, cw, vw, pad, state, tok, hid, trailing, tlen, tidx0, rng, n):
+        def fn(tw, cw, vw, pad, ctx, state, tok, hid, trailing, tlen,
+               tidx0, rng, n):
             state, codes, valid, tok, hid = frames_chunk(
                 mc.talker, mc.code_predictor, tw, cw, state, tok, hid,
                 trailing, tlen, tidx0, pad, rng, num_frames=n,
@@ -181,16 +198,19 @@ class TTSEngine:
                 temperature=cfg.subtalker_temperature,
                 top_k=cfg.subtalker_top_k, attn_impl=attn_impl)
             if has_vocoder:
-                audio = vocoder_decode(vc, vw, codes)
+                audio = voc(vw, codes, ctx if use_ctx else None)
             else:
                 audio = jnp.zeros((codes.shape[0] * vc.hop_length,), jnp.float32)
             return state, codes, valid, tok, hid, audio
 
         jitted = jax.jit(fn, static_argnames=("n",), donate_argnames=("state",))
+        self._dummy_ctx = jnp.zeros((1, mc.num_code_groups), jnp.int32)
 
-        def call(state, tok, hid, trailing, tlen, tidx0, rng, n):
+        def call(state, tok, hid, trailing, tlen, tidx0, rng, n, ctx=None):
+            if ctx is None:
+                ctx = self._dummy_ctx
             return jitted(self._talker_step_w, self.weights.code_predictor,
-                          self.vocoder_weights, self._tts_pad_embed,
+                          self.vocoder_weights, self._tts_pad_embed, ctx,
                           state, tok, hid, trailing, tlen, tidx0, rng, n)
 
         self._chunk_audio_fn = call
@@ -237,7 +257,7 @@ class TTSEngine:
                 temperature=cfg.subtalker_temperature,
                 top_k=cfg.subtalker_top_k, attn_impl=attn_impl)
             if has_vocoder:
-                audio = vocoder_decode(vc, vw, codes)
+                audio = voc(vw, codes, None)   # utterance start: no context
             else:
                 audio = jnp.zeros((codes.shape[0] * vc.hop_length,), jnp.float32)
             return state, codes, valid, tok, hid, audio, trailing, t_len
@@ -257,9 +277,15 @@ class TTSEngine:
 
     def _load_vocoder(self):
         cfg = self.config
+        self._voc_kind = cfg.vocoder_backend
+        mode = cfg.vocoder_mode
+        if self._voc_kind == "code2wav":
+            self._load_code2wav()
+            return
+        if self._voc_kind != "fast":
+            raise ValueError(f"unknown vocoder_backend {self._voc_kind!r}")
         self.vocoder_config = VocoderConfig(sample_rate=cfg.sample_rate)
         self.vocoder_weights = None
-        mode = cfg.vocoder_mode
         if mode in ("auto",) and cfg.vocoder_path:
             self.vocoder_weights = load_vocoder(cfg.vocoder_path, self.vocoder_config)
         if self.vocoder_weights is None and mode in ("auto", "random"):
@@ -268,8 +294,109 @@ class TTSEngine:
             self._vocoder_is_random = True
         else:
             self._vocoder_is_random = False
-        self._vocoder_fn = jax.jit(partial(vocoder_decode, self.vocoder_config))
-        self.sample_rate = self.vocoder_config.sample_rate
+        vc = self.vocoder_config
+        # (vw, codes [T,16], ctx ignored) → [T*hop]; traced into fused fns
+        self._voc_frames_decode = lambda vw, codes, ctx=None: vocoder_decode(
+            vc, vw, codes)
+        self._vocoder_fn = jax.jit(partial(vocoder_decode, vc))
+        self.sample_rate = vc.sample_rate
+
+    def _load_code2wav(self):
+        """Code2Wav backend: the public Qwen3-Omni codec decoder architecture
+        (vocoder/code2wav.py), torch-parity-tested. Streaming semantics mirror
+        the upstream `chunked_decode` (left-context re-decode per chunk,
+        modeling_qwen3_omni_moe.py:3752-3762) but improve on it: keeping
+        samples from offset ctx*hop - deficit yields EXACTLY n*hop gapless
+        samples per chunk instead of upstream's 555-sample hole per chunk."""
+        cfg = self.config
+        c2c = cfg.code2wav_config or Code2WavConfig(sample_rate=cfg.sample_rate)
+        if c2c.num_quantizers != self.model_config.num_code_groups:
+            raise ValueError(
+                f"code2wav num_quantizers ({c2c.num_quantizers}) must match "
+                f"the model's code groups ({self.model_config.num_code_groups})")
+        self.vocoder_config = c2c
+        self.vocoder_weights = None
+        mode = cfg.vocoder_mode
+        if mode in ("auto",) and cfg.vocoder_path:
+            self.vocoder_weights = load_code2wav(cfg.vocoder_path, c2c)
+        if self.vocoder_weights is None and mode in ("auto", "random"):
+            self.vocoder_weights = init_code2wav_weights(
+                jax.random.PRNGKey(cfg.seed + 1), c2c)
+            self._vocoder_is_random = True
+        else:
+            self._vocoder_is_random = False
+        if self.vocoder_weights is not None and cfg.vocoder_dtype == "bfloat16":
+            self.vocoder_weights = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16), self.vocoder_weights)
+        hop, deficit = c2c.hop_length, c2c.output_deficit
+
+        def raw_decode(vw, codes):
+            """codes [T,16] → [output_samples(T)] f32."""
+            cl = jnp.clip(codes, 0, c2c.codebook_size - 1).astype(jnp.int32)
+            return code2wav_apply(c2c, vw, cl.T[None])[0].astype(jnp.float32)
+
+        def frames_decode(vw, codes, ctx=None):
+            """codes [T,16] (+ left-context codes [C,16]) → EXACTLY [T*hop].
+
+            With context: decode [ctx; codes], keep hop-aligned samples
+            starting at ctx*hop - deficit — consecutive chunks are gapless
+            and globally offset by one constant `deficit`. Without context
+            (utterance start): front-pad the deficit with silence."""
+            n = codes.shape[0]
+            if ctx is None:
+                return jnp.pad(raw_decode(vw, codes), (deficit, 0))
+            wav = raw_decode(vw, jnp.concatenate([ctx, codes], axis=0))
+            off = ctx.shape[0] * hop - deficit
+            return jax.lax.dynamic_slice_in_dim(wav, off, n * hop)
+
+        self._voc_frames_decode = frames_decode
+        self._vocoder_fn = jax.jit(raw_decode)
+        # Non-streaming decode runs in FIXED windows of `code2wav_window`
+        # frames with `code2wav_ctx` frames of left context (upstream
+        # chunked_decode semantics, modeling_qwen3_omni_moe.py:3752-3762) —
+        # exactly TWO compiled shapes instead of per-length geometric
+        # buckets (each full-size compile is ~30 s on the tunnel).
+        self._c2w_window = max(cfg.code2wav_window, cfg.code2wav_ctx + 1)
+        self._c2w_ctx = cfg.code2wav_ctx
+
+        def window_ctx_decode(vw, both):
+            """both [CTX+W, 16] → the window's [W*hop] samples."""
+            wav = raw_decode(vw, both)
+            return jax.lax.dynamic_slice_in_dim(
+                wav, self._c2w_ctx * hop - deficit, self._c2w_window * hop)
+
+        self._c2w_ctx_fn = jax.jit(window_ctx_decode)
+        self.sample_rate = c2c.sample_rate
+
+    def _c2w_decode_full(self, stacked: np.ndarray) -> np.ndarray:
+        """Whole-utterance code2wav decode via fixed windows; returns
+        exactly T*hop samples (tail zero-padded by the conv-trim deficit)."""
+        c2c = self.vocoder_config
+        hop = c2c.hop_length
+        W, CTX = self._c2w_window, self._c2w_ctx
+        T, q = stacked.shape
+        parts = []
+        s = 0
+        while s < T:
+            end = min(s + W, T)
+            window = stacked[s:end]
+            if end - s < W:  # repeat-pad the last window to the fixed shape
+                pad = np.broadcast_to(window[-1], (W - (end - s), q))
+                window = np.concatenate([window, pad])
+            if s == 0:
+                wav = self._vocoder_fn(self.vocoder_weights,
+                                       jnp.asarray(window))
+            else:
+                both = np.concatenate([stacked[s - CTX: s], window])
+                wav = self._c2w_ctx_fn(self.vocoder_weights,
+                                       jnp.asarray(both))
+            parts.append(np.asarray(wav, dtype=np.float32))
+            s = end
+        out = np.concatenate(parts)
+        need = T * hop
+        if len(out) < need:
+            out = np.concatenate([out, np.zeros(need - len(out), np.float32)])
+        return out[:need]
 
     def _warmup(self):
         """Compile + warm every hot signature (the reference's hard-won
@@ -292,11 +419,17 @@ class TTSEngine:
                 state, codes, valid, token, hidden, audio, trailing, t_len = \
                     self._first_audio_fn(dummy_ids, jnp.int32(10),
                                          jax.random.PRNGKey(0))
-            for n in (1, cfg.chunk_frames):
+            # warm the real streaming signature sequence; for code2wav the
+            # ctx shape grows [1,16] (after the 1-frame first chunk) then
+            # [chunk,16], so warm both
+            prev = codes
+            for n in (1, cfg.chunk_frames, cfg.chunk_frames):
                 state, codes, valid, token, hidden, audio = \
                     self._chunk_audio_fn(
                         state, token, hidden, trailing,
-                        jnp.int32(0), jnp.int32(0), jax.random.PRNGKey(0), n)
+                        jnp.int32(0), jnp.int32(0), jax.random.PRNGKey(0), n,
+                        ctx=prev if self._voc_kind == "code2wav" else None)
+                prev = codes
             np.asarray(audio)
         else:
             r = frame_step(
@@ -311,7 +444,16 @@ class TTSEngine:
                 attn_impl=self._attn_impl,
             )
             np.asarray(r.codes)
-        if self.vocoder_weights is not None:
+        if self.vocoder_weights is not None and self._voc_kind == "code2wav":
+            # code2wav non-streaming path: exactly two window shapes
+            g = mc.num_code_groups
+            np.asarray(self._vocoder_fn(
+                self.vocoder_weights,
+                jnp.zeros((self._c2w_window, g), jnp.int32)))
+            np.asarray(self._c2w_ctx_fn(
+                self.vocoder_weights,
+                jnp.zeros((self._c2w_ctx + self._c2w_window, g), jnp.int32)))
+        elif self.vocoder_weights is not None:
             # warm vocoder shape buckets up to ~13s of audio (longer
             # utterances compile their bucket on first use)
             sizes = [1, cfg.chunk_frames]
@@ -525,14 +667,19 @@ class TTSEngine:
             self._first_audio_fn(ids_dev, n_dev, loop_rng)
         q.append((codes, valid, audio, 1, 0))
         planned = 1
+        # code2wav decodes each chunk with the PREVIOUS chunk's codes as left
+        # context (device-resident — no upload), keeping chunks gapless.
+        prev_codes = codes
 
         def enqueue(n):
-            nonlocal state, prev_token, hidden, planned
+            nonlocal state, prev_token, hidden, planned, prev_codes
             state, codes, valid, prev_token, hidden, audio = \
                 self._chunk_audio_fn(
                     state, prev_token, hidden, trailing,
-                    t_len, jnp.int32(planned), loop_rng, n)
+                    t_len, jnp.int32(planned), loop_rng, n,
+                    ctx=prev_codes if self._voc_kind == "code2wav" else None)
             q.append((codes, valid, audio, n, planned))
+            prev_codes = codes
             planned += n
 
         if planned < max_frames:
@@ -671,6 +818,9 @@ class TTSEngine:
         if not frames:
             return np.array([], dtype=np.float32), self.sample_rate
         T = len(frames)
+        if self._voc_kind == "code2wav" and self.vocoder_weights is not None:
+            return (self._c2w_decode_full(np.stack(frames)),
+                    self.sample_rate)
         bucket = self._vocoder_bucket(T)
         stacked = np.stack(frames)
         codes = np.broadcast_to(

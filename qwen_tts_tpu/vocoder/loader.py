@@ -129,3 +129,33 @@ def load_vocoder(path: str, cfg: VocoderConfig) -> VocoderWeights | None:
         return convert_vocoder_state(flat, cfg)
     except Exception:
         return None
+
+
+def load_code2wav(path: str, cfg):
+    """Load Code2Wav weights from a safetensors file holding the torch
+    module's state_dict key names (modeling_qwen3_omni_moe.py:3704-3736),
+    optionally prefixed (`speech_tokenizer.`, `model.`, `code2wav.`).
+
+    Accepts `<path>` as a file or a directory containing
+    `code2wav.safetensors`. Returns None on any failure — the engine then
+    degrades to random-init/silence like the reference's vocoder-unavailable
+    mode (reference: tts_engine.py:204-209)."""
+    from .code2wav import convert_code2wav_state
+
+    if os.path.isdir(path):
+        path = os.path.join(path, "code2wav.safetensors")
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        from safetensors.numpy import load_file
+
+        flat = load_file(path)
+        normalized = {}
+        for k, v in flat.items():
+            for p in _STRIP_PREFIXES + ("code2wav.",):
+                if k.startswith(p):
+                    k = k[len(p):]
+            normalized[k] = v
+        return convert_code2wav_state(normalized, cfg)
+    except Exception:
+        return None

@@ -1,0 +1,122 @@
+"""Numerical parity of the JAX Code2Wav port vs the torch original.
+
+The oracle is the actual `Qwen3OmniMoeCode2Wav` module shipped in
+transformers (modeling_qwen3_omni_moe.py:3704-3763), instantiated with a
+tiny config and random weights, run on CPU in float32. The converter maps
+its state_dict onto our pytree; outputs must agree to float tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qwen_tts_tpu.vocoder.code2wav import (
+    Code2WavConfig,
+    chunked_decode,
+    code2wav_apply,
+    convert_code2wav_state,
+    init_code2wav_weights,
+)
+
+torch = pytest.importorskip("torch")
+
+
+TINY = dict(
+    codebook_size=32,
+    hidden_size=64,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    sliding_window=5,          # < T so the window actually masks
+    intermediate_size=96,
+    num_hidden_layers=2,
+    num_quantizers=4,
+    upsample_rates=(4, 3),
+    upsampling_ratios=(2,),
+    decoder_dim=32,
+)
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    from transformers.models.qwen3_omni_moe.configuration_qwen3_omni_moe import (
+        Qwen3OmniMoeCode2WavConfig,
+    )
+    from transformers.models.qwen3_omni_moe.modeling_qwen3_omni_moe import (
+        Qwen3OmniMoeCode2Wav,
+    )
+
+    tcfg = Qwen3OmniMoeCode2WavConfig(
+        max_position_embeddings=256,
+        **{k: list(v) if isinstance(v, tuple) else v for k, v in TINY.items()},
+    )
+    torch.manual_seed(7)
+    model = Qwen3OmniMoeCode2Wav(tcfg).eval()
+    # Perturb weights that post_init leaves at degenerate values (zeros/ones)
+    # so parity is tested at non-trivial parameter values.
+    with torch.no_grad():
+        for p in model.parameters():
+            p.add_(0.02 * torch.randn_like(p))
+    return model
+
+
+@pytest.fixture(scope="module")
+def jax_setup(torch_model):
+    cfg = Code2WavConfig(**TINY)
+    w = convert_code2wav_state(torch_model.state_dict(), cfg)
+    return cfg, w
+
+
+def test_output_samples_formula(torch_model, jax_setup):
+    cfg, _ = jax_setup
+    assert cfg.total_upsample == int(torch_model.total_upsample)
+    for t in (1, 2, 7, 13):
+        codes = torch.zeros(1, cfg.num_quantizers, t, dtype=torch.long)
+        with torch.no_grad():
+            wav = torch_model(codes)
+        assert wav.shape[-1] == cfg.output_samples(t)
+
+
+def test_forward_parity(torch_model, jax_setup):
+    cfg, w = jax_setup
+    rng = np.random.default_rng(0)
+    # T = 13 > sliding_window = 5: exercises the window mask.
+    codes = rng.integers(0, cfg.codebook_size, size=(2, cfg.num_quantizers, 13))
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(codes)).numpy()[:, 0, :]
+    out = np.asarray(code2wav_apply(cfg, w, jnp.asarray(codes, jnp.int32)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_chunked_decode_parity(torch_model, jax_setup):
+    cfg, w = jax_setup
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, cfg.codebook_size, size=(1, cfg.num_quantizers, 11))
+    with torch.no_grad():
+        ref = torch_model.chunked_decode(
+            torch.from_numpy(codes), chunk_size=4, left_context_size=2
+        ).numpy()[:, 0, :]
+    out = np.asarray(chunked_decode(
+        cfg, w, jnp.asarray(codes, jnp.int32),
+        chunk_size=4, left_context_size=2))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_random_init_shapes_match_converter(torch_model, jax_setup):
+    cfg, w_conv = jax_setup
+    w_rand = init_code2wav_weights(jax.random.PRNGKey(0), cfg)
+    conv_shapes = jax.tree.map(lambda x: x.shape, w_conv)
+    rand_shapes = jax.tree.map(lambda x: x.shape, w_rand)
+    assert conv_shapes == rand_shapes
+
+
+def test_output_bounded(jax_setup):
+    cfg, _ = jax_setup
+    w = init_code2wav_weights(jax.random.PRNGKey(3), cfg)
+    codes = jnp.zeros((1, cfg.num_quantizers, 6), jnp.int32)
+    wav = code2wav_apply(cfg, w, codes)
+    assert wav.shape == (1, cfg.output_samples(6))
+    assert np.all(np.abs(np.asarray(wav)) <= 1.0)

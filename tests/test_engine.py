@@ -132,3 +132,106 @@ def test_quantize_knob_inert_on_cpu(tiny_cfg):
     eng.initialize()
     wav, sr = eng.synthesize("quantize knob check")
     assert len(wav) > 0
+
+
+@pytest.fixture(scope="module")
+def c2w_engine():
+    """Engine with the Code2Wav (real-architecture) vocoder backend on a
+    tiny Code2WavConfig."""
+    import jax
+    from qwen_tts_tpu.core.config import tiny_test_config
+    from qwen_tts_tpu.vocoder.code2wav import Code2WavConfig
+
+    c2c = Code2WavConfig(
+        codebook_size=2048, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, sliding_window=8, intermediate_size=96,
+        num_hidden_layers=2, num_quantizers=16,
+        upsample_rates=(4, 3), upsampling_ratios=(2,), decoder_dim=32)
+    mc = tiny_test_config(max_seq_len=256)
+    cfg = TTSConfig(max_seq_len=256, chunk_frames=4, seed=0,
+                    vocoder_backend="code2wav", code2wav_config=c2c)
+    eng = TTSEngine(cfg, model_config=mc)
+    eng.initialize()
+    return eng
+
+
+def test_code2wav_streaming_chunk_lengths(c2w_engine):
+    """Streaming with the code2wav backend: first chunk = 1*hop (front-padded
+    by the conv-trim deficit), every full chunk exactly chunk_frames*hop —
+    gapless, unlike upstream chunked_decode's per-chunk sample holes."""
+    eng = c2w_engine
+    hop = eng.vocoder_config.hop_length
+
+    async def collect():
+        return [a async for a, _ in eng.synthesize_streaming(
+            "hello code2wav streaming test")]
+
+    chunks = asyncio.run(collect())
+    assert len(chunks) >= 2
+    assert len(chunks[0]) == 1 * hop
+    for c in chunks[1:-1]:
+        assert len(c) == eng.config.chunk_frames * hop
+
+
+def test_code2wav_streaming_matches_manual_chunked(c2w_engine):
+    """Each streamed chunk must equal a manual re-decode of
+    [prev-chunk codes; this chunk's codes] sliced at ctx*hop - deficit —
+    i.e. the engine's fused ctx threading and slicing are exactly the
+    documented chunked-decode semantics."""
+    import jax
+    import jax.numpy as jnp
+    from qwen_tts_tpu.vocoder.code2wav import code2wav_apply
+
+    eng = c2w_engine
+    c2c = eng.vocoder_config
+    hop, deficit = c2c.hop_length, c2c.output_deficit
+
+    eng._rng = jax.random.PRNGKey(5)
+    chunks = list(eng._generate_audio_chunks(
+        "deterministic stream compare", eng.config.chunk_frames))
+    assert len(chunks) >= 3
+    prev_frames = None
+    # the terminal chunk may be partial (EOS/cap inside it) — it re-decodes
+    # exact-length via _decode_to_audio, a different (also correct) path
+    for audio, frames in chunks[:-1]:
+        # the engine clips codes to the codebook (talker specials >= 2048)
+        codes = np.stack(frames).clip(0, c2c.codebook_size - 1)
+        if prev_frames is None:
+            ref = np.asarray(code2wav_apply(
+                c2c, eng.vocoder_weights,
+                jnp.asarray(codes.T[None], jnp.int32)))[0]
+            ref = np.concatenate([np.zeros(deficit, np.float32), ref])
+        else:
+            ctx = np.stack(prev_frames)
+            both = np.concatenate([ctx, codes])
+            wav = np.asarray(code2wav_apply(
+                c2c, eng.vocoder_weights,
+                jnp.asarray(both.T[None], jnp.int32)))[0]
+            off = len(ctx) * hop - deficit
+            ref = wav[off: off + len(codes) * hop]
+        if len(audio) != len(ref):
+            break  # terminal partial chunk re-decodes via _decode_to_audio
+        np.testing.assert_allclose(audio, ref, rtol=2e-4, atol=2e-5)
+        prev_frames = codes  # already clipped
+
+
+def test_code2wav_nonstreaming(c2w_engine):
+    wav, sr = c2w_engine.synthesize("short code2wav test")
+    hop = c2w_engine.vocoder_config.hop_length
+    assert len(wav) % hop == 0 and len(wav) > 0
+    assert np.abs(wav).max() <= 1.0
+
+
+def test_code2wav_quantizer_mismatch_raises():
+    from qwen_tts_tpu.core.config import tiny_test_config
+    from qwen_tts_tpu.vocoder.code2wav import Code2WavConfig
+
+    c2c = Code2WavConfig(num_quantizers=4, hidden_size=32,
+                         num_attention_heads=2, num_key_value_heads=2,
+                         num_hidden_layers=1, upsample_rates=(2,),
+                         upsampling_ratios=(2,), decoder_dim=8)
+    eng = TTSEngine(TTSConfig(max_seq_len=64, vocoder_backend="code2wav",
+                              code2wav_config=c2c),
+                    model_config=tiny_test_config(max_seq_len=64))
+    with pytest.raises(ValueError, match="num_quantizers"):
+        eng.initialize()

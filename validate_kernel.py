@@ -80,8 +80,9 @@ def validate_quantized(args):
     w = init_decoder_weights(jax.random.PRNGKey(args.seed), cfg)
     qw = {
         "megagen-int8": lambda: quantize_decoder_weights(w),
-        "megagen-int8g": lambda: quantize_decoder_weights(w, group_size=128),
-        "megagen-int4": lambda: quantize_decoder_weights_int4(w),
+        "megagen-int8g": lambda: quantize_decoder_weights(w, group_size=args.group),
+        "megagen-int4": lambda: quantize_decoder_weights_int4(
+            w, group_size=args.group),
     }[args.backend]()
 
     step_o = jax.jit(functools.partial(oracle.decode_step_with_embed, cfg))
@@ -128,6 +129,8 @@ def main():
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--max-seq", type=int, default=2048)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--group", type=int, default=128,
+                   help="group size for the group-wise quantized backends")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--backend", default="mega",
                    choices=["mega", "megagen-int8", "megagen-int8g",
