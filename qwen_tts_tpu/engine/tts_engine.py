@@ -97,7 +97,9 @@ class TTSConfig:
     trailing_bucket: int = 64
     backend: str = "auto"                 # auto | dense | pallas | mega
     fused_chunks: bool = True             # one dispatch per audio chunk
-    quantize: bool = False                # int8 weight-only talker decode
+    quantize: bool = False                # int8 weight-only decode steps
+                                          # (talker + code predictor; the T>1
+                                          # prefills stay bf16 — docs/02)
 
 
 class TTSEngine:
@@ -165,13 +167,19 @@ class TTSEngine:
         self._fused_tags = (tts_prefix + codec_embeds[:4]).astype(jnp.bfloat16)
         self._codec_bos_embed = codec_embeds[4]
 
-        # int8 weight-only mode for the talker's per-step decode (prefill
-        # and the code predictor keep bf16; quality note: docs/02).
+        # int8 weight-only mode for every per-step decode: the talker's
+        # single/chunk steps AND the code predictor's 15 per-frame steps
+        # (quality note: docs/02). The bf16 copies stay resident for the
+        # T>1 prefills (talker 8-token, CP 2-token) — one extra weight pass
+        # per utterance/frame instead of a dense dequant path.
         self._talker_step_w = self.weights.talker
+        self._cp_step_w = None
         if cfg.quantize and self._attn_impl == "mega":
             from ..core.weights import quantize_decoder_weights
 
             self._talker_step_w = quantize_decoder_weights(self.weights.talker)
+            self._cp_step_w = quantize_decoder_weights(
+                self.weights.code_predictor.decoder)
 
         self._build_fused_fns()
         self._warmup()
@@ -189,14 +197,15 @@ class TTSEngine:
         voc = self._voc_frames_decode
         use_ctx = self._voc_kind == "code2wav"  # left-context chunk decode
 
-        def fn(tw, cw, vw, pad, ctx, state, tok, hid, trailing, tlen,
+        def fn(tw, cw, cs, vw, pad, ctx, state, tok, hid, trailing, tlen,
                tidx0, rng, n):
             state, codes, valid, tok, hid = frames_chunk(
                 mc.talker, mc.code_predictor, tw, cw, state, tok, hid,
                 trailing, tlen, tidx0, pad, rng, num_frames=n,
                 do_sample=cfg.subtalker_do_sample,
                 temperature=cfg.subtalker_temperature,
-                top_k=cfg.subtalker_top_k, attn_impl=attn_impl)
+                top_k=cfg.subtalker_top_k, attn_impl=attn_impl,
+                cp_step_w=cs)
             if has_vocoder:
                 audio = voc(vw, codes, ctx if use_ctx else None)
             else:
@@ -210,6 +219,7 @@ class TTSEngine:
             if ctx is None:
                 ctx = self._dummy_ctx
             return jitted(self._talker_step_w, self.weights.code_predictor,
+                          self._cp_step_w,
                           self.vocoder_weights, self._tts_pad_embed, ctx,
                           state, tok, hid, trailing, tlen, tidx0, rng, n)
 
@@ -223,7 +233,7 @@ class TTSEngine:
         from ..core.config import CODEC_BOS
         from ..models.decoder import forward_chunk, decode_step_with_embed
 
-        def first_fn(tw, tw_step, cw, vw, tp_w, role_embeds, fused_tags,
+        def first_fn(tw, tw_step, cw, cs, vw, tp_w, role_embeds, fused_tags,
                      codec_bos_embed, tts_eos, tts_pad,
                      content_ids, n_content, rng):
             content_embeds = embed_text_ids(tp_w, content_ids)   # [Tpad, H]
@@ -255,7 +265,8 @@ class TTSEngine:
                 trailing, t_len, jnp.int32(0), tts_pad, rng, num_frames=1,
                 do_sample=cfg.subtalker_do_sample,
                 temperature=cfg.subtalker_temperature,
-                top_k=cfg.subtalker_top_k, attn_impl=attn_impl)
+                top_k=cfg.subtalker_top_k, attn_impl=attn_impl,
+                cp_step_w=cs)
             if has_vocoder:
                 audio = voc(vw, codes, None)   # utterance start: no context
             else:
@@ -267,7 +278,7 @@ class TTSEngine:
         def first_call(content_ids, n_content, rng):
             return first_jitted(
                 self.weights.talker, self._talker_step_w,
-                self.weights.code_predictor,
+                self.weights.code_predictor, self._cp_step_w,
                 self.vocoder_weights, self.weights.text_projection,
                 self._role_embeds, self._fused_tags, self._codec_bos_embed,
                 self._tts_eos_embed, self._tts_pad_embed,

@@ -36,7 +36,7 @@ from .decoder import (
 
 @partial(jax.jit, static_argnames=(
     "cfg", "do_sample", "temperature", "top_k", "num_groups", "return_logits",
-    "attn_impl"))
+    "attn_impl", "interpret"))
 def cp_predict(
     cfg: DecoderConfig,
     w: CodePredictorWeights,
@@ -50,6 +50,11 @@ def cp_predict(
     num_groups: int = 15,
     return_logits: bool = False,
     attn_impl: str = "dense",
+    step_w=None,                   # optional quantized DecoderWeights for the
+                                   # 15 single-token steps (attn_impl="mega");
+                                   # the 2-token prefill always runs w.decoder
+                                   # (bf16 dense — one extra weight pass/frame)
+    interpret: bool = False,       # Pallas interpret mode (CPU tests)
 ) -> jax.Array:
     """Predict all 16 codebook groups for one audio frame.
 
@@ -57,6 +62,7 @@ def cp_predict(
     (reference: model_tts.py:728-773).
     """
     state = init_state(cfg)
+    sw = w.decoder if step_w is None else step_w
 
     # Prefill positions 0-1: [talker_hidden, embed(first_token)] in ONE forward
     first_embed = talker_embed_table[first_token].astype(jnp.float32)
@@ -72,8 +78,9 @@ def cp_predict(
         token = sample_logits(logits, jax.random.fold_in(rng, g),
                               do_sample, temperature, top_k)
         embed = codec_embed[token].astype(jnp.float32)              # [H]
-        state, normed = forward_chunk(cfg, w.decoder, state, embed[None],
-                                      attn_impl=attn_impl)
+        state, normed = forward_chunk(cfg, sw, state, embed[None],
+                                      attn_impl=attn_impl,
+                                      interpret=interpret)
         return (state, normed[0]), (token, logits)
 
     xs = (w.lm_heads, w.codec_embeds, jnp.arange(num_groups, dtype=jnp.int32))

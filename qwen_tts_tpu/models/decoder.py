@@ -269,6 +269,7 @@ def forward_chunk(
     embeds: jax.Array,      # [T, H] — precomputed input embeddings (any float dtype)
     attn_impl: str = "dense",
     mrope_pos: jax.Array | None = None,   # [3] int32 section positions (M-RoPE)
+    interpret: bool = False,              # Pallas interpret mode (CPU tests)
 ) -> tuple[DecodeState, jax.Array]:
     """Run a T-token chunk through all layers. Returns (state, normed [T,H] f32).
 
@@ -280,7 +281,8 @@ def forward_chunk(
         from ..ops.decode_step import megakernel_forward
 
         state, _logits, normed1 = megakernel_forward(
-            cfg, w, state, embeds[0], mrope_pos=mrope_pos)
+            cfg, w, state, embeds[0], mrope_pos=mrope_pos,
+            interpret=interpret)
         return state, normed1[None, :]
     if attn_impl == "mega":
         attn_impl = "dense"      # prefill (T>1) runs the dense mixed path

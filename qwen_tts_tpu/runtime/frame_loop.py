@@ -65,12 +65,13 @@ def frame_step(
     temperature: float = 0.9,
     top_k: int = 50,
     attn_impl: str = "dense",
+    cp_step_w=None,               # optional quantized CP decoder for T=1 steps
 ) -> FrameResult:
     """One full frame (reference loop body: tts_engine.py:301-335)."""
     codes = cp_predict(
         cp_cfg, cp_w, hidden, prev_token, talker_w.embed, rng,
         do_sample=do_sample, temperature=temperature, top_k=top_k,
-        attn_impl=attn_impl,
+        attn_impl=attn_impl, step_w=cp_step_w,
     )  # [16] int32
 
     embed_sum = _sum_code_embeddings(codes, talker_w.embed, cp_w.codec_embeds)
@@ -114,6 +115,7 @@ def frames_chunk(
     temperature: float = 0.9,
     top_k: int = 50,
     attn_impl: str = "dense",
+    cp_step_w=None,               # optional quantized CP decoder for T=1 steps
 ):
     """`num_frames` frames in ONE dispatch — `lax.scan` over the frame body.
 
@@ -139,7 +141,7 @@ def frames_chunk(
             # streaming (1+10+10...) and non-streaming (10+10...) chunkings
             # produce byte-identical codec frames for the same seed.
             do_sample=do_sample, temperature=temperature, top_k=top_k,
-            attn_impl=attn_impl)
+            attn_impl=attn_impl, cp_step_w=cp_step_w)
         still_alive = jnp.logical_and(alive, tok != CODEC_EOS)
         return ((r.state, r.next_token, r.next_hidden, still_alive),
                 (r.codes, still_alive))

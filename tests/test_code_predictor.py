@@ -89,6 +89,64 @@ def test_cp_predict_sampling_in_range_and_seeded(tiny_cfg, tiny_weights):
     assert not (na == nc).all()
 
 
+def test_cp_predict_step_w_default_is_identity(tiny_cfg, tiny_weights):
+    """Passing step_w=w.decoder explicitly must equal the default path —
+    the plumbing used by the quantized engine (step weights ≠ prefill
+    weights) is a pure threading change."""
+    cfg = tiny_cfg.code_predictor
+    w = tiny_weights.code_predictor
+    hidden = jax.random.normal(
+        jax.random.PRNGKey(9), (cfg.hidden_size,), dtype=jnp.float32)
+
+    a = cp_predict(cfg, w, hidden, jnp.int32(5), tiny_weights.talker.embed,
+                   jax.random.PRNGKey(1), do_sample=False)
+    b = cp_predict(cfg, w, hidden, jnp.int32(5), tiny_weights.talker.embed,
+                   jax.random.PRNGKey(1), do_sample=False, step_w=w.decoder)
+    assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_cp_predict_quantized_steps_match_dequant_oracle(tiny_cfg, tiny_weights):
+    """The engine's quantize=True CP path: 15 T=1 steps through the
+    megakernel with int8 weights, bf16 dense 2-token prefill. Oracle = the
+    same split with the int8 weights DEQUANTIZED on the dense path — kernel
+    vs oracle is then a numerics check (same quantization error on both
+    sides), matching the talker kernels' acceptance strategy
+    (tests/test_generate_kernel.py)."""
+    from qwen_tts_tpu.core.weights import (
+        DecoderWeights,
+        dequantize_layer_weights,
+        quantize_decoder_weights,
+    )
+
+    cfg = tiny_cfg.code_predictor
+    w = tiny_weights.code_predictor
+    qdec = quantize_decoder_weights(w.decoder)
+    deq_dec = DecoderWeights(
+        layers=dequantize_layer_weights(qdec.layers),
+        final_norm=w.decoder.final_norm, embed=w.decoder.embed,
+        lm_head=w.decoder.lm_head, rope=w.decoder.rope)
+    hidden = jax.random.normal(
+        jax.random.PRNGKey(13), (cfg.hidden_size,), dtype=jnp.float32)
+
+    codes_k, logits_k = cp_predict(
+        cfg, w, hidden, jnp.int32(7), tiny_weights.talker.embed,
+        jax.random.PRNGKey(2), do_sample=False, return_logits=True,
+        attn_impl="mega", interpret=True, step_w=qdec)
+    codes_o, logits_o = cp_predict(
+        cfg, w, hidden, jnp.int32(7), tiny_weights.talker.embed,
+        jax.random.PRNGKey(2), do_sample=False, return_logits=True,
+        step_w=deq_dec)
+
+    codes_k, codes_o = np.asarray(codes_k), np.asarray(codes_o)
+    logits_k, logits_o = np.asarray(logits_k), np.asarray(logits_o)
+    # logits trajectories close; tokens equal up to near-ties
+    np.testing.assert_allclose(logits_k, logits_o, rtol=5e-2, atol=5e-2)
+    for g in range(15):
+        tok = codes_k[g + 1]
+        assert logits_o[g][tok] >= logits_o[g].max() - 1e-2, (
+            f"group {g}: kernel token {tok} not near oracle max")
+
+
 def test_sample_logits_topk_respects_support():
     logits = jnp.asarray([0.0, 10.0, 9.0, -5.0, 8.0] + [-100.0] * 11)
     for seed in range(20):

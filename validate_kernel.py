@@ -124,6 +124,85 @@ def validate_quantized(args):
         sys.exit(1)
 
 
+def validate_cp_quant(args):
+    """Teacher-forced validation of the quantized code-predictor step path
+    (engine quantize=True). The bf16 dense path decodes each frame greedily;
+    its per-group codes are then FORCED into a parallel trajectory whose
+    T=1 steps run the megakernel with int8 weights, so every group is
+    compared on an identical prefix (the talker harness's coupling,
+    reference: validate_kernel.py:204-258 — without forcing, one near-tie
+    flip cascades through the remaining groups and the comparison measures
+    divergence, not quantization error). Reports per-group argmax agreement
+    and logits cosine with the same two-tier acceptance bar."""
+    from qwen_tts_tpu.core.config import TTSModelConfig
+    from qwen_tts_tpu.core.weights import (
+        init_tts_weights,
+        quantize_decoder_weights,
+    )
+    from qwen_tts_tpu.models.code_predictor import cp_predict
+    from qwen_tts_tpu.models.decoder import forward_chunk, init_state
+
+    mc = TTSModelConfig()
+    weights = init_tts_weights(jax.random.PRNGKey(args.seed), mc)
+    w = weights.code_predictor
+    cfg = mc.code_predictor
+    qdec = quantize_decoder_weights(w.decoder)
+
+    pred_b = jax.jit(functools.partial(
+        cp_predict, cfg, do_sample=False, return_logits=True))
+    prefill_d = jax.jit(functools.partial(forward_chunk, cfg))
+    step_q = jax.jit(functools.partial(forward_chunk, cfg, attn_impl="mega"))
+
+    def forced_quant_logits(hidden, tok, codes):
+        """Per-group logits of the quantized step path with `codes` forced."""
+        state = init_state(cfg)
+        first_embed = weights.talker.embed[tok].astype(jnp.float32)
+        state, normed = prefill_d(
+            w.decoder, state, jnp.stack([hidden, first_embed]))
+        last = normed[-1]
+        out = []
+        for g in range(15):
+            logits = jnp.dot(last.astype(jnp.bfloat16), w.lm_heads[g],
+                             preferred_element_type=jnp.float32)
+            out.append(np.asarray(logits))
+            embed = w.codec_embeds[g][int(codes[g + 1])].astype(jnp.float32)
+            state, normed = step_q(qdec, state, embed[None])
+            last = normed[0]
+        return np.stack(out)     # [15, 2048]
+
+    rng = jax.random.PRNGKey(args.seed + 1)
+    frames = max(args.steps // 15, 9)    # >=128 group comparisons
+    match, total, cosines = 0, 0, []
+    for i in range(frames):
+        hidden = jax.random.normal(
+            jax.random.fold_in(rng, 2 * i), (cfg.hidden_size,), jnp.float32)
+        tok = jax.random.randint(
+            jax.random.fold_in(rng, 2 * i + 1), (), 0, 2048, jnp.int32)
+        cb, lb = pred_b(w, hidden, tok, weights.talker.embed,
+                        jax.random.PRNGKey(0))
+        cb, lb = np.asarray(cb), np.asarray(lb)
+        lq = forced_quant_logits(hidden, tok, cb)
+        match += int((lq.argmax(axis=1) == cb[1:]).sum())
+        total += 15
+        for g in range(15):
+            cosines.append(float(
+                lb[g] @ lq[g]
+                / (np.linalg.norm(lb[g]) * np.linalg.norm(lq[g]) + 1e-9)))
+
+    rate = match / total
+    cmin, cmean = min(cosines), sum(cosines) / len(cosines)
+    print(f"[cp-int8 forced x{frames} frames] codes {match}/{total} "
+          f"({rate:.1%})  logits cos min {cmin:.6f} mean {cmean:.6f}")
+    if rate == 1.0 and cmin > 0.99:
+        print("PASS: exact code match, cos > 0.99")
+    elif cmin > 0.995:
+        print(f"PASS (tolerated): code rate {rate:.1%}, cos {cmin:.5f}")
+    else:
+        print(f"BELOW TIER: code rate {rate:.1%}, cos min {cmin:.5f} — "
+              f"record in docs")
+        sys.exit(1)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=50)
@@ -134,13 +213,19 @@ def main():
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--backend", default="mega",
                    choices=["mega", "megagen-int8", "megagen-int8g",
-                            "megagen-int4"],
+                            "megagen-int4", "cp-int8"],
                    help="mega = bf16 kernel vs oracle (reference cases); "
-                        "quantized backends run the coupled comparison")
+                        "quantized backends run the coupled comparison; "
+                        "cp-int8 validates the quantized code-predictor path")
     p.add_argument("--reference-only", action="store_true",
                    help="run only the oracle (no Pallas), as a smoke test")
     args = p.parse_args()
 
+    if args.backend == "cp-int8" and not args.reference_only:
+        if args.steps < 128:
+            args.steps = 128     # quantized acceptance needs >=128 comparisons
+        validate_cp_quant(args)
+        return
     if args.backend != "mega" and not args.reference_only:
         if args.steps < 128:
             args.steps = 128     # quantized acceptance needs >=128 steps
