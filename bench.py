@@ -57,17 +57,19 @@ def bench_tok_s(args):
         from qwen_tts_tpu.ops.generate_kernel import generate_megakernel
 
         gen_w = w
-        if args.backend == "megagen-int8":
+        base = args.backend.removesuffix("-kv8")
+        kv_dtype = jnp.int8 if args.backend.endswith("-kv8") else jnp.bfloat16
+        if base == "megagen-int8":
             from qwen_tts_tpu.core.weights import quantize_decoder_weights
 
             gen_w = quantize_decoder_weights(w)
-        elif args.backend == "megagen-int4":
+        elif base == "megagen-int4":
             from qwen_tts_tpu.core.weights import quantize_decoder_weights_int4
 
             gen_w = quantize_decoder_weights_int4(w)
 
         def run():
-            state = init_state(cfg)
+            state = init_state(cfg, kv_dtype)
             state, tokens = generate_megakernel(
                 cfg, gen_w, state, jnp.int32(CODEC_BOS), args.steps)
             # host transfer = the only honest sync on this platform
@@ -92,7 +94,9 @@ def bench_tok_s(args):
 
     tok_s = args.steps / best
     suffix = {"megagen-int8": "_int8_weights",
-              "megagen-int4": "_int4_weights"}.get(args.backend, "")
+              "megagen-int4": "_int4_weights",
+              "megagen-int8-kv8": "_int8_weights_kv8",
+              "megagen-int4-kv8": "_int4_weights_kv8"}.get(args.backend, "")
     emit("talker_decode_tok_s" + suffix, tok_s, "tok/s", tok_s / 1000.0)
 
 
@@ -168,6 +172,7 @@ def main():
     p.add_argument("--quantize", action="store_true")
     p.add_argument("--backend", default="megagen-int8",
                    choices=["megagen", "megagen-int8", "megagen-int4",
+                            "megagen-int8-kv8", "megagen-int4-kv8",
                             "mega", "pallas", "dense"])
     args = p.parse_args()
 

@@ -14,7 +14,11 @@ Prints per-B lines plus a summary of aggregate frames/s and per-stream RTF
 from __future__ import annotations
 
 import argparse
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

@@ -33,19 +33,31 @@ from ..core.weights import DecoderWeights, LayerWeights
 
 
 class DecodeState(NamedTuple):
-    """KV cache + position. Layout `[L, KVH, S, D]` (reference: model_tts.py:227-231)."""
+    """KV cache + position. Layout `[L, KVH, S, D]` (reference: model_tts.py:227-231).
 
-    k_cache: jax.Array   # [L, KVH, S, D] bf16
-    v_cache: jax.Array   # [L, KVH, S, D] bf16
+    With `kv_dtype=int8` (ops/generate_kernel.py) the cache holds per-row
+    symmetric int8 values and `k_scale`/`v_scale` hold the f32 dequant
+    scales, laid out `[L, KVH, S]` (position on the 128-lane axis — scale
+    flushes are whole 128-row groups, which satisfies Mosaic's lane-dim
+    alignment). bf16 mode leaves the scale fields None."""
+
+    k_cache: jax.Array   # [L, KVH, S, D] bf16 | int8
+    v_cache: jax.Array   # [L, KVH, S, D] bf16 | int8
     position: jax.Array  # int32 scalar
+    k_scale: jax.Array | None = None   # [L, KVH, S] f32 (int8 mode only)
+    v_scale: jax.Array | None = None
 
 
 def init_state(cfg: DecoderConfig, dtype=jnp.bfloat16) -> DecodeState:
     shape = (cfg.num_layers, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim)
+    scale = None
+    if dtype == jnp.int8:
+        scale = jnp.zeros(shape[:3], dtype=jnp.float32)
     return DecodeState(
         k_cache=jnp.zeros(shape, dtype=dtype),
         v_cache=jnp.zeros(shape, dtype=dtype),
         position=jnp.zeros((), dtype=jnp.int32),
+        k_scale=scale, v_scale=scale,
     )
 
 
@@ -55,6 +67,8 @@ def reset_state(state: DecodeState) -> DecodeState:
         k_cache=jnp.zeros_like(state.k_cache),
         v_cache=jnp.zeros_like(state.v_cache),
         position=jnp.zeros((), dtype=jnp.int32),
+        k_scale=None if state.k_scale is None else jnp.zeros_like(state.k_scale),
+        v_scale=None if state.v_scale is None else jnp.zeros_like(state.v_scale),
     )
 
 

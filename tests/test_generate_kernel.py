@@ -195,6 +195,104 @@ def test_int4_scales_shapes():
     assert lw.w_down_s.shape == (L, CFG.intermediate_size // 128, H)
 
 
+def _gen_kv8_interpret(w, state, first_token, n, ring=16, chunk=32):
+    from qwen_tts_tpu.ops import generate_kernel as gk
+
+    return gk.generate_megakernel.__wrapped__(
+        CFG, w, state, first_token, n, chunk=chunk, copy_cache_in=True,
+        interpret=True, ring_override=ring)
+
+
+def test_generate_kv8_matches_oracle(w):
+    """int8 KV cache (per-row scales) vs the bf16 oracle: tokens near-equal
+    (int8 rounding can flip argmax near-ties on random weights) and the
+    dequantized cache matches the oracle cache within the int8 grid."""
+    import jax.numpy as jnp
+
+    n = 12
+    first = jnp.int32(7)
+
+    state_o = init_state(CFG)
+    tok = first
+    oracle_tokens = []
+    for _ in range(n):
+        state_o, tok, _ = decode_step(CFG, w, state_o, tok)
+        oracle_tokens.append(int(tok))
+
+    state_m = init_state(CFG, jnp.int8)
+    state_m, tokens = _gen_kv8_interpret(w, state_m, first, n)
+    got = [int(t) for t in np.asarray(tokens)]
+    matches = sum(a == b for a, b in zip(oracle_tokens, got))
+    assert matches >= n - 2, f"oracle {oracle_tokens} vs kv8 {got}"
+    assert int(state_m.position) == n
+
+    # Layer 0's rows see only quantization error (≤ half an int8 step +
+    # bf16 storage noise on the oracle side); deeper layers additionally
+    # carry the model divergence a perturbed residual stream causes, so
+    # they get an aggregate fidelity bound instead of an elementwise one.
+    for cache_o, cache_q, scale_q in (
+        (state_o.k_cache, state_m.k_cache, state_m.k_scale),
+        (state_o.v_cache, state_m.v_cache, state_m.v_scale),
+    ):
+        a = np.asarray(cache_o[:, :, :n].astype(jnp.float32))
+        q = np.asarray(cache_q[:, :, :n].astype(jnp.float32))
+        s = np.asarray(scale_q[:, :, :n])
+        err = np.abs(q * s[..., None] - a)
+        bound0 = s[0, ..., None] * 0.51 + 0.01 * np.abs(a[0]) + 1e-3
+        assert (err[0] <= bound0).all(), float((err[0] - bound0).max())
+        rel = err.mean() / (np.abs(a).mean() + 1e-9)
+        assert rel < 0.02, rel
+
+
+def test_generate_kv8_flush_and_chunk_path(w):
+    """With a small test ring (16) and chunk (32), 40 steps cross two ring
+    flushes and read flushed chunks back through the scale-aware attention
+    path — the full int8 staging/flush/dechunk cycle."""
+    import jax.numpy as jnp
+
+    n = 40
+    first = jnp.int32(3)
+
+    state_o = init_state(CFG)
+    tok = first
+    oracle_tokens = []
+    for _ in range(n):
+        state_o, tok, _ = decode_step(CFG, w, state_o, tok)
+        oracle_tokens.append(int(tok))
+
+    state_m = init_state(CFG, jnp.int8)
+    state_m, tokens = _gen_kv8_interpret(w, state_m, first, n)
+    got = [int(t) for t in np.asarray(tokens)]
+    matches = sum(a == b for a, b in zip(oracle_tokens, got))
+    # int8 KV noise accumulates over an autoregressive run; most tokens
+    # should still agree
+    assert matches >= n - 6, f"{matches}/{n}: oracle {oracle_tokens} vs {got}"
+
+
+def test_generate_kv8_continues_from_position(w):
+    """Resume from a warm int8 cache at a position inside a partial ring
+    group — exercises the step-0 ring/scale init staging."""
+    import jax.numpy as jnp
+
+    state_m = init_state(CFG, jnp.int8)
+    state_m, tokens_a = _gen_kv8_interpret(w, state_m, jnp.int32(3), 5)
+    last = jnp.int32(int(np.asarray(tokens_a)[-1]))
+    state_m, tokens_b = _gen_kv8_interpret(w, state_m, last, 6)
+
+    state_o = init_state(CFG)
+    tok = jnp.int32(3)
+    oracle_tokens = []
+    for _ in range(11):
+        state_o, tok, _ = decode_step(CFG, w, state_o, tok)
+        oracle_tokens.append(int(tok))
+
+    got = ([int(t) for t in np.asarray(tokens_a)]
+           + [int(t) for t in np.asarray(tokens_b)])
+    matches = sum(a == b for a, b in zip(oracle_tokens, got))
+    assert matches >= 9, f"oracle {oracle_tokens} vs kv8 split {got}"
+    assert int(state_m.position) == 11
+
+
 def test_int4_pack_roundtrip():
     from qwen_tts_tpu.core.weights import pack_int4, unpack_int4
 
