@@ -187,11 +187,11 @@ def main():
     if args.mode == "tok":
         bench_tok_s(args)
     elif args.mode == "full":
-        # both quantized decode modes; int4 (the fastest) last = the
-        # driver's parsed headline
+        # quantized decode modes; int4 + int8-KV-cache (the fastest) last =
+        # the driver's parsed headline
         import copy
 
-        for backend in ("megagen-int8", "megagen-int4"):
+        for backend in ("megagen-int8", "megagen-int4", "megagen-int4-kv8"):
             a = copy.copy(args)
             a.backend = backend
             try:

@@ -74,14 +74,15 @@ def main():
     cfg = DecoderConfig(max_seq_len=args.max_seq)
     w = init_decoder_weights(jax.random.PRNGKey(0), cfg)
 
-    for name, gw in (("bf16-weights", w),
-                     ("int8-weights", quantize_decoder_weights(w)),
-                     ("int4-weights", quantize_decoder_weights_int4(w))):
-        a = trajectory(cfg, gw, jnp.bfloat16, args.steps)
-        b = trajectory(cfg, gw, jnp.int8, args.steps)
-        prefix, agree = agreement(a, b)
-        print(f"{name:13s} bf16-cache vs int8-cache over {args.steps}: "
-              f"prefix match {prefix}, agreement {agree:.1%}", flush=True)
+    if args.steps:
+        for name, gw in (("bf16-weights", w),
+                         ("int8-weights", quantize_decoder_weights(w)),
+                         ("int4-weights", quantize_decoder_weights_int4(w))):
+            a = trajectory(cfg, gw, jnp.bfloat16, args.steps)
+            b = trajectory(cfg, gw, jnp.int8, args.steps)
+            prefix, agree = agreement(a, b)
+            print(f"{name:13s} bf16-cache vs int8-cache over {args.steps}: "
+                  f"prefix match {prefix}, agreement {agree:.1%}", flush=True)
 
     if args.long_steps:
         qw = quantize_decoder_weights_int4(w)

@@ -473,7 +473,7 @@ def _gen_kernel(
         normed_ref[:] = nrm
         logits = mm(nrm.astype(jnp.bfloat16), lm_head_ref[:])
         tok = jnp.argmax(logits, axis=1)[0].astype(jnp.int32)
-        tokens_ref[n, 0] = tok
+        tokens_ref[0, n] = tok
         tok_ref[0] = tok
 
         @pl.when(n + 1 < N)
@@ -613,7 +613,10 @@ def _generate_impl(
     n_in = len(in_specs)
 
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_cache_out + [
-        pl.BlockSpec(memory_space=pltpu.SMEM),     # tokens [N, 1]
+        # tokens [1, N]: ONE SMEM row — SMEM allocates 512 B per row, so the
+        # [N, 1] layout costs N*512 B and blows the ~1 MB SMEM budget at
+        # N=4096; one row of N lanes costs ~N*4 B
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         _const_spec((1, H)),                       # final hidden
         _const_spec((L, KVH, RG, D)),              # tail k
         _const_spec((L, KVH, RG, D)),              # tail v
@@ -628,7 +631,7 @@ def _generate_impl(
             jax.ShapeDtypeStruct(state.v_scale.shape, jnp.float32),
         ]
     out_shapes += [
-        jax.ShapeDtypeStruct((N, 1), jnp.int32),
+        jax.ShapeDtypeStruct((1, N), jnp.int32),
         jax.ShapeDtypeStruct((1, H), jnp.float32),
         jax.ShapeDtypeStruct((L, KVH, RG, D), state.k_cache.dtype),
         jax.ShapeDtypeStruct((L, KVH, RG, D), state.v_cache.dtype),
@@ -719,7 +722,7 @@ def _generate_impl(
 
     new_state = DecodeState(k_cache=k_cache, v_cache=v_cache, position=end,
                             k_scale=k_scale, v_scale=v_scale)
-    return new_state, tokens[:, 0]
+    return new_state, tokens[0, :]
 
 
 _STATIC = ("cfg", "num_steps", "chunk", "prefetch_chunks", "copy_cache_in",
