@@ -85,9 +85,13 @@ def main():
               f"per-stream {per_stream:6.1f} frames/s  RTF {rtf:.3f}  "
               f"({'real-time' if rtf < 1 else 'NOT real-time'})")
 
-    best = max(results, key=lambda r: r[1] if r[3] < 1 else -1)
-    print(f"\nbest real-time config: B={best[0]} -> {best[1]:.1f} frames/s "
-          f"aggregate ({best[1] * 60 / frame_rate / 60:.1f}x real-time total)")
+    realtime = [r for r in results if r[3] < 1]
+    if realtime:
+        best = max(realtime, key=lambda r: r[1])
+        print(f"\nbest real-time config: B={best[0]} -> {best[1]:.1f} frames/s "
+              f"aggregate ({best[1] / frame_rate:.1f}x real-time total)")
+    else:
+        print("\nno batch size is real-time at this configuration")
 
 
 if __name__ == "__main__":

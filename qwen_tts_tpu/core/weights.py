@@ -112,14 +112,25 @@ def load_speaker_encoder(model_path: str) -> dict[str, np.ndarray]:
 # ── RoPE tables ──────────────────────────────────────────────────────────────
 
 
+MROPE_HEADROOM = 1024
+
+
 def make_rope_table(cfg: DecoderConfig) -> RopeTable:
-    """f32 cos/sin tables `[max_seq, head_dim//2]` (reference: model_tts.py:89-96)."""
+    """f32 cos/sin tables `[rows, head_dim//2]` (reference: model_tts.py:89-96).
+
+    With `mrope_section` set, section positions run AHEAD of the cache
+    position (e.g. the text index exceeds the frame index), so the table
+    gets `MROPE_HEADROOM` extra rows — indexing past `max_seq_len` must hit
+    real rows, not clamped/garbage ones."""
     d = cfg.head_dim
     inv_freq = 1.0 / (
         cfg.rope_theta ** (np.arange(0, d, 2, dtype=np.float32) / d)
     )
-    positions = np.arange(cfg.max_seq_len, dtype=np.float32)
-    freqs = np.outer(positions, inv_freq)  # [S, d/2]
+    rows = cfg.max_seq_len
+    if cfg.mrope_section is not None:
+        rows += MROPE_HEADROOM
+    positions = np.arange(rows, dtype=np.float32)
+    freqs = np.outer(positions, inv_freq)  # [rows, d/2]
     return RopeTable(
         cos=jnp.asarray(np.cos(freqs), dtype=jnp.float32),
         sin=jnp.asarray(np.sin(freqs), dtype=jnp.float32),
@@ -482,6 +493,15 @@ def _quant_mat_int4(w: jax.Array, group_size: int = INT4_GROUP):
     if n_in % group_size or n_in % 2:
         raise ValueError(f"in dim {n_in} not divisible by group {group_size}")
     ng = n_in // group_size
+    # The halves-packed layout splits the scale rows into lo/hi groups
+    # (kernels take s[:ng//2] / s[ng//2:]): each half must hold a whole
+    # number of groups, or the split lands mid-group and silently
+    # mis-scales (and ng == 1 would divide by zero in the grouped matvec).
+    if ng % 2:
+        raise ValueError(
+            f"group {group_size} gives {ng} group(s) over in dim {n_in}; "
+            f"the int4 halves packing needs an even group count "
+            f"(group_size <= {n_in // 2} and (in/2) % group == 0)")
     wf = w.astype(jnp.float32).reshape(L, ng, group_size, n_out)
     absmax = jnp.max(jnp.abs(wf), axis=2, keepdims=True)   # [L, ng, 1, out]
     scale = jnp.maximum(absmax, 1e-8) / 7.0

@@ -361,6 +361,10 @@ class TTSEngine:
             return jax.lax.dynamic_slice_in_dim(wav, off, n * hop)
 
         self._voc_frames_decode = frames_decode
+        # host-callable form for non-default chunk sizes (jit retraces per
+        # (ctx_len, n) shape pair — the fused default-chunk path stays the
+        # fast one; this keeps custom-chunk streams gapless too)
+        self._voc_ctx_jit = jax.jit(frames_decode)
         self._vocoder_fn = jax.jit(raw_decode)
         # Non-streaming decode runs in FIXED windows of `code2wav_window`
         # frames with `code2wav_ctx` frames of left context (upstream
@@ -432,9 +436,13 @@ class TTSEngine:
                                          jax.random.PRNGKey(0))
             # warm the real streaming signature sequence; for code2wav the
             # ctx shape grows [1,16] (after the 1-frame first chunk) then
-            # [chunk,16], so warm both
+            # [chunk,16], so warm both ctx shapes — other backends have
+            # only the two (n=1, n=chunk) signatures
             prev = codes
-            for n in (1, cfg.chunk_frames, cfg.chunk_frames):
+            warm_ns = (1, cfg.chunk_frames)
+            if self._voc_kind == "code2wav":
+                warm_ns = (1, cfg.chunk_frames, cfg.chunk_frames)
+            for n in warm_ns:
                 state, codes, valid, token, hidden, audio = \
                     self._chunk_audio_fn(
                         state, token, hidden, trailing,
@@ -519,11 +527,24 @@ class TTSEngine:
         if self._fused_chunks:
             # One fused dispatch per chunk: 1-frame first chunk for TTFC,
             # then chunk_size-frame dispatches (~0.8 s of audio per call).
+            # code2wav chunks decode with the previous chunk as left
+            # context so non-default chunk sizes stay gapless too.
+            use_ctx = (self._voc_kind == "code2wav"
+                       and self.vocoder_weights is not None)
+            prev: Optional[np.ndarray] = None
             for chunk in self._generate_codec_chunks(
                     text, first_chunk=1, chunk_size=chunk_size):
                 if not chunk:
                     continue
-                yield self._decode_to_audio(chunk)
+                if use_ctx:
+                    cur = np.stack(chunk)
+                    wav = self._voc_ctx_jit(
+                        self.vocoder_weights, jnp.asarray(cur),
+                        None if prev is None else jnp.asarray(prev))
+                    prev = cur
+                    yield np.asarray(wav, dtype=np.float32), self.sample_rate
+                else:
+                    yield self._decode_to_audio(chunk)
                 await asyncio.sleep(0)
             return
         buffer: list[np.ndarray] = []

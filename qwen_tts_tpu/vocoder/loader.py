@@ -152,7 +152,10 @@ def load_code2wav(path: str, cfg):
         flat = load_file(path)
         normalized = {}
         for k, v in flat.items():
-            for p in _STRIP_PREFIXES + ("code2wav.",):
+            # NOT _STRIP_PREFIXES: 'decoder.' is a REAL top-level Code2Wav
+            # key prefix (decoder.0.conv.weight, ...) — stripping it would
+            # break every plain torch checkpoint
+            for p in ("speech_tokenizer.", "model.", "code2wav."):
                 if k.startswith(p):
                     k = k[len(p):]
             normalized[k] = v

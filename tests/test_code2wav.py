@@ -113,6 +113,39 @@ def test_random_init_shapes_match_converter(torch_model, jax_setup):
     assert conv_shapes == rand_shapes
 
 
+def test_load_code2wav_plain_torch_keys(tmp_path, torch_model, jax_setup):
+    """load_code2wav must accept a safetensors file with the module's OWN
+    key names — including the top-level 'decoder.' prefix, which the
+    general vocoder prefix-stripper must NOT eat (it is a real Code2Wav
+    key, not a wrapper prefix)."""
+    from safetensors.numpy import save_file
+
+    from qwen_tts_tpu.vocoder.loader import load_code2wav
+
+    cfg, w_ref = jax_setup
+    flat = {k: v.detach().cpu().numpy()
+            for k, v in torch_model.state_dict().items()}
+    path = tmp_path / "code2wav.safetensors"
+    save_file(flat, str(path))
+
+    for p in (str(path), str(tmp_path)):        # file AND directory forms
+        w = load_code2wav(p, cfg)
+        assert w is not None, f"loader returned None for {p}"
+        np.testing.assert_array_equal(
+            np.asarray(w.dec_pre.w), np.asarray(w_ref.dec_pre.w))
+        np.testing.assert_array_equal(
+            np.asarray(w.embed), np.asarray(w_ref.embed))
+
+    # prefixed variant ('speech_tokenizer.') also loads
+    pref = {f"speech_tokenizer.{k}": v for k, v in flat.items()}
+    path2 = tmp_path / "prefixed.safetensors"
+    save_file(pref, str(path2))
+    w = load_code2wav(str(path2), cfg)
+    assert w is not None
+    np.testing.assert_array_equal(
+        np.asarray(w.layers[0].wq), np.asarray(w_ref.layers[0].wq))
+
+
 def test_output_bounded(jax_setup):
     cfg, _ = jax_setup
     w = init_code2wav_weights(jax.random.PRNGKey(3), cfg)

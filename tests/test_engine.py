@@ -215,6 +215,53 @@ def test_code2wav_streaming_matches_manual_chunked(c2w_engine):
         prev_frames = codes  # already clipped
 
 
+def test_code2wav_custom_chunk_stream_gapless(c2w_engine):
+    """Non-default chunk_frames must still decode with left context (the
+    fused fast path only covers the configured chunk size): each streamed
+    chunk equals the manual [prev; cur] decode sliced at ctx*hop - deficit."""
+    import jax
+    import jax.numpy as jnp
+    from qwen_tts_tpu.vocoder.code2wav import code2wav_apply
+
+    eng = c2w_engine
+    c2c = eng.vocoder_config
+    hop, deficit = c2c.hop_length, c2c.output_deficit
+    cs = 3
+    assert cs != eng.config.chunk_frames
+    text = "custom chunk size gapless check"
+
+    eng._rng = jax.random.PRNGKey(11)
+    code_chunks = [np.stack(c) for c in eng._generate_codec_chunks(
+        text, first_chunk=1, chunk_size=cs) if c]
+
+    async def collect():
+        eng._rng = jax.random.PRNGKey(11)
+        return [a async for a, _ in eng.synthesize_streaming(
+            text, chunk_frames=cs)]
+
+    audio_chunks = asyncio.run(collect())
+    assert len(audio_chunks) == len(code_chunks) >= 2
+    assert len(audio_chunks[0]) == len(code_chunks[0]) * hop
+
+    prev = None
+    for audio, codes in zip(audio_chunks, code_chunks):
+        assert len(audio) == len(codes) * hop
+        cl = codes.clip(0, c2c.codebook_size - 1)
+        if prev is None:
+            ref = np.asarray(code2wav_apply(
+                c2c, eng.vocoder_weights, jnp.asarray(cl.T[None], jnp.int32)))[0]
+            ref = np.concatenate([np.zeros(deficit, np.float32), ref])
+        else:
+            both = np.concatenate([prev, cl])
+            wav = np.asarray(code2wav_apply(
+                c2c, eng.vocoder_weights,
+                jnp.asarray(both.T[None], jnp.int32)))[0]
+            off = len(prev) * hop - deficit
+            ref = wav[off: off + len(cl) * hop]
+        np.testing.assert_allclose(audio, ref, rtol=2e-4, atol=2e-5)
+        prev = cl
+
+
 def test_code2wav_nonstreaming(c2w_engine):
     wav, sr = c2w_engine.synthesize("short code2wav test")
     hop = c2w_engine.vocoder_config.hop_length
