@@ -528,21 +528,32 @@ class TTSEngine:
             # One fused dispatch per chunk: 1-frame first chunk for TTFC,
             # then chunk_size-frame dispatches (~0.8 s of audio per call).
             # code2wav chunks decode with the previous chunk as left
-            # context so non-default chunk sizes stay gapless too.
+            # context so non-default chunk sizes stay gapless too. The
+            # context stays DEVICE-resident (one upload per chunk, not
+            # two), and a terminal partial chunk is repeat-padded to the
+            # fixed chunk size so the jit signature set is closed — no
+            # mid-stream vocoder compile on the final chunk.
             use_ctx = (self._voc_kind == "code2wav"
                        and self.vocoder_weights is not None)
-            prev: Optional[np.ndarray] = None
+            prev_dev = None
             for chunk in self._generate_codec_chunks(
                     text, first_chunk=1, chunk_size=chunk_size):
                 if not chunk:
                     continue
                 if use_ctx:
+                    n = len(chunk)
                     cur = np.stack(chunk)
-                    wav = self._voc_ctx_jit(
-                        self.vocoder_weights, jnp.asarray(cur),
-                        None if prev is None else jnp.asarray(prev))
-                    prev = cur
-                    yield np.asarray(wav, dtype=np.float32), self.sample_rate
+                    if prev_dev is not None and n < chunk_size:
+                        pad = np.broadcast_to(cur[-1], (chunk_size - n,
+                                                        cur.shape[1]))
+                        cur = np.concatenate([cur, pad])
+                    cur_dev = jnp.asarray(cur)
+                    wav = self._voc_ctx_jit(self.vocoder_weights, cur_dev,
+                                            prev_dev)
+                    hop = self.vocoder_config.hop_length
+                    yield (np.asarray(wav, dtype=np.float32)[: n * hop],
+                           self.sample_rate)
+                    prev_dev = cur_dev
                 else:
                     yield self._decode_to_audio(chunk)
                 await asyncio.sleep(0)

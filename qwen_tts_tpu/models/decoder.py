@@ -50,14 +50,19 @@ class DecodeState(NamedTuple):
 
 def init_state(cfg: DecoderConfig, dtype=jnp.bfloat16) -> DecodeState:
     shape = (cfg.num_layers, cfg.num_kv_heads, cfg.max_seq_len, cfg.head_dim)
-    scale = None
+    # k_scale/v_scale must be DISTINCT buffers: each is pallas-aliased to a
+    # different kernel output, and sharing one buffer across two aliased
+    # operands is the same hazard class as the donation×aliasing platform
+    # bug (docs/02) — two allocations make it unconditionally safe.
+    k_scale = v_scale = None
     if dtype == jnp.int8:
-        scale = jnp.zeros(shape[:3], dtype=jnp.float32)
+        k_scale = jnp.zeros(shape[:3], dtype=jnp.float32)
+        v_scale = jnp.zeros(shape[:3], dtype=jnp.float32)
     return DecodeState(
         k_cache=jnp.zeros(shape, dtype=dtype),
         v_cache=jnp.zeros(shape, dtype=dtype),
         position=jnp.zeros((), dtype=jnp.int32),
-        k_scale=scale, v_scale=scale,
+        k_scale=k_scale, v_scale=v_scale,
     )
 
 

@@ -612,36 +612,43 @@ def _generate_impl(
         n_cache_out = 4
     n_in = len(in_specs)
 
-    out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_cache_out + [
+    # One ordered (spec, shape) pair per output — a SINGLE list, so the
+    # specs, shapes, and the kernel body's positional unpack cannot drift
+    # apart (a mis-binding here surfaces on this platform only as a
+    # diagnostics-free runtime InvalidArgument). Order mirrors the body's
+    # unpack: caches [+ scales], tokens, normed, tails [+ scale tails].
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    cdt = state.k_cache.dtype
+    outs_def = [
+        (any_spec, jax.ShapeDtypeStruct(state.k_cache.shape, cdt)),
+        (any_spec, jax.ShapeDtypeStruct(state.v_cache.shape, cdt)),
+    ]
+    if kv8:
+        outs_def += [
+            (any_spec, jax.ShapeDtypeStruct(state.k_scale.shape, jnp.float32)),
+            (any_spec, jax.ShapeDtypeStruct(state.v_scale.shape, jnp.float32)),
+        ]
+    outs_def += [
         # tokens [1, N]: ONE SMEM row — SMEM allocates 512 B per row, so the
         # [N, 1] layout costs N*512 B and blows the ~1 MB SMEM budget at
         # N=4096; one row of N lanes costs ~N*4 B
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        _const_spec((1, H)),                       # final hidden
-        _const_spec((L, KVH, RG, D)),              # tail k
-        _const_spec((L, KVH, RG, D)),              # tail v
-    ]
-    out_shapes = [
-        jax.ShapeDtypeStruct(state.k_cache.shape, state.k_cache.dtype),
-        jax.ShapeDtypeStruct(state.v_cache.shape, state.v_cache.dtype),
-    ]
-    if kv8:
-        out_shapes += [
-            jax.ShapeDtypeStruct(state.k_scale.shape, jnp.float32),
-            jax.ShapeDtypeStruct(state.v_scale.shape, jnp.float32),
-        ]
-    out_shapes += [
-        jax.ShapeDtypeStruct((1, N), jnp.int32),
-        jax.ShapeDtypeStruct((1, H), jnp.float32),
-        jax.ShapeDtypeStruct((L, KVH, RG, D), state.k_cache.dtype),
-        jax.ShapeDtypeStruct((L, KVH, RG, D), state.v_cache.dtype),
+        (pl.BlockSpec(memory_space=pltpu.SMEM),
+         jax.ShapeDtypeStruct((1, N), jnp.int32)),
+        (_const_spec((1, H)), jax.ShapeDtypeStruct((1, H), jnp.float32)),
+        (_const_spec((L, KVH, RG, D)),
+         jax.ShapeDtypeStruct((L, KVH, RG, D), cdt)),          # tail k
+        (_const_spec((L, KVH, RG, D)),
+         jax.ShapeDtypeStruct((L, KVH, RG, D), cdt)),          # tail v
     ]
     if kv8:
-        out_specs += [_const_spec((L, KVH, RG)), _const_spec((L, KVH, RG))]
-        out_shapes += [
-            jax.ShapeDtypeStruct((L, KVH, RG), jnp.float32),
-            jax.ShapeDtypeStruct((L, KVH, RG), jnp.float32),
+        outs_def += [
+            (_const_spec((L, KVH, RG)),
+             jax.ShapeDtypeStruct((L, KVH, RG), jnp.float32)),  # tail ks
+            (_const_spec((L, KVH, RG)),
+             jax.ShapeDtypeStruct((L, KVH, RG), jnp.float32)),  # tail vs
         ]
+    out_specs = [s for s, _ in outs_def]
+    out_shapes = [sh for _, sh in outs_def]
 
     scratch_shapes = [
         pltpu.VMEM((1, H), jnp.float32),                      # x
@@ -755,6 +762,21 @@ def generate_megakernel(cfg, w, state, first_token, num_steps, **kw):
     pallas-aliased trips a runtime InvalidArgument in this platform's
     runtime (empirically bisected; the ~15 MB un-donated scale copy per
     call is noise next to the ~GB caches)."""
+    mp = kw.get("mrope_pos0")
+    if mp is not None and not isinstance(mp, jax.core.Tracer):
+        # M-RoPE sections index the rope table AHEAD of the cache position;
+        # the table has MROPE_HEADROOM extra rows (core/weights.py) — fail
+        # loudly instead of reading past it (kernel: garbage rotations;
+        # XLA path: silent dynamic_slice clamp).
+        import numpy as _np
+
+        hi = int(_np.max(_np.asarray(mp))) + num_steps
+        rows = w.rope.cos.shape[0]
+        if hi > rows:
+            raise ValueError(
+                f"mrope_pos0 max + num_steps ({hi}) exceeds the rope table "
+                f"({rows} rows = max_seq_len + headroom); shorten the run "
+                f"or raise MROPE_HEADROOM (core/weights.py)")
     if state.k_cache.dtype == jnp.int8:
         return _jit_kv8(cfg, w, state.k_cache, state.v_cache, state.position,
                         state.k_scale, state.v_scale, first_token, num_steps,

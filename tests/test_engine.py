@@ -245,19 +245,25 @@ def test_code2wav_custom_chunk_stream_gapless(c2w_engine):
 
     prev = None
     for audio, codes in zip(audio_chunks, code_chunks):
-        assert len(audio) == len(codes) * hop
+        n = len(codes)
+        assert len(audio) == n * hop
         cl = codes.clip(0, c2c.codebook_size - 1)
         if prev is None:
             ref = np.asarray(code2wav_apply(
                 c2c, eng.vocoder_weights, jnp.asarray(cl.T[None], jnp.int32)))[0]
             ref = np.concatenate([np.zeros(deficit, np.float32), ref])
         else:
-            both = np.concatenate([prev, cl])
+            dec = cl
+            if n < cs:   # engine repeat-pads the terminal partial chunk to
+                         # the fixed signature, then slices n*hop samples
+                pad = np.broadcast_to(dec[-1], (cs - n, dec.shape[1]))
+                dec = np.concatenate([dec, pad])
+            both = np.concatenate([prev, dec])
             wav = np.asarray(code2wav_apply(
                 c2c, eng.vocoder_weights,
                 jnp.asarray(both.T[None], jnp.int32)))[0]
             off = len(prev) * hop - deficit
-            ref = wav[off: off + len(cl) * hop]
+            ref = wav[off: off + n * hop]
         np.testing.assert_allclose(audio, ref, rtol=2e-4, atol=2e-5)
         prev = cl
 
