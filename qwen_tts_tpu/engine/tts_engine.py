@@ -405,9 +405,12 @@ class TTSEngine:
                 both = np.concatenate([stacked[s - CTX: s], window])
                 wav = self._c2w_ctx_fn(self.vocoder_weights,
                                        jnp.asarray(both))
-            parts.append(np.asarray(wav, dtype=np.float32))
+            parts.append(wav)       # async dispatch: enqueue ALL windows
             s = end
-        out = np.concatenate(parts)
+        # ONE readback — serializing an np.asarray per window would pay a
+        # full tunnel round trip each (~26 ms) and lose overlap
+        out = np.concatenate(
+            [np.asarray(w, dtype=np.float32) for w in jax.device_get(parts)])
         need = T * hop
         if len(out) < need:
             out = np.concatenate([out, np.zeros(need - len(out), np.float32)])
@@ -426,34 +429,43 @@ class TTSEngine:
         trailing = jnp.zeros((cfg.trailing_bucket, h), dtype=jnp.bfloat16)
         do_sample = cfg.subtalker_do_sample
         if self._fused_chunks:
-            # warm the fused cold path for the first two trailing buckets
-            # (longer texts compile their bucket on first use)
+            # warm the fused cold path AND the per-chunk signature sequence
+            # for the first two trailing buckets (the chunk fn's signature
+            # includes the trailing SHAPE, so warming only one bucket left
+            # the other compiling mid-stream on first use; longer texts
+            # compile their bucket on first use). For code2wav the ctx
+            # shape grows [1,16] then [chunk,16], so warm both ctx shapes.
+            warm_ns = (1, cfg.chunk_frames)
+            if self._voc_kind == "code2wav":
+                warm_ns = (1, cfg.chunk_frames, cfg.chunk_frames)
             for mult in (1, 2):
                 dummy_ids = jnp.zeros((cfg.trailing_bucket * mult,),
                                       dtype=jnp.int32)
                 state, codes, valid, token, hidden, audio, trailing, t_len = \
                     self._first_audio_fn(dummy_ids, jnp.int32(10),
                                          jax.random.PRNGKey(0))
-            # warm the real streaming signature sequence; for code2wav the
-            # ctx shape grows [1,16] (after the 1-frame first chunk) then
-            # [chunk,16], so warm both ctx shapes — other backends have
-            # only the two (n=1, n=chunk) signatures
-            prev = codes
-            warm_ns = (1, cfg.chunk_frames)
-            if self._voc_kind == "code2wav":
-                warm_ns = (1, cfg.chunk_frames, cfg.chunk_frames)
-            for n in warm_ns:
-                state, codes, valid, token, hidden, audio = \
-                    self._chunk_audio_fn(
-                        state, token, hidden, trailing,
-                        jnp.int32(0), jnp.int32(0), jax.random.PRNGKey(0), n,
-                        ctx=prev if self._voc_kind == "code2wav" else None)
                 prev = codes
+                for n in warm_ns:
+                    state, codes, valid, token, hidden, audio = \
+                        self._chunk_audio_fn(
+                            state, token, hidden, trailing,
+                            jnp.int32(0), jnp.int32(0),
+                            jax.random.PRNGKey(0), n,
+                            ctx=prev if self._voc_kind == "code2wav" else None)
+                    prev = codes
             np.asarray(audio)
+            if self._voc_kind == "code2wav" and self.vocoder_weights is not None:
+                # terminal-partial-chunk redecode signatures (ctx ∈ {1, cs})
+                g = mc.num_code_groups
+                cs = cfg.chunk_frames
+                for ctx_len in (1, cs):
+                    np.asarray(self._voc_ctx_jit(
+                        self.vocoder_weights, jnp.zeros((cs, g), jnp.int32),
+                        jnp.zeros((ctx_len, g), jnp.int32)))
         else:
             r = frame_step(
                 mc.talker, mc.code_predictor,
-                self.weights.talker, self.weights.code_predictor,
+                self._talker_step_w, self.weights.code_predictor,
                 state, token, hidden,
                 trailing, jnp.int32(0), jnp.int32(0),
                 self._tts_pad_embed, jax.random.PRNGKey(0),
@@ -461,6 +473,7 @@ class TTSEngine:
                 temperature=cfg.subtalker_temperature,
                 top_k=cfg.subtalker_top_k,
                 attn_impl=self._attn_impl,
+                cp_step_w=self._cp_step_w,
             )
             np.asarray(r.codes)
         if self.vocoder_weights is not None and self._voc_kind == "code2wav":
@@ -492,6 +505,17 @@ class TTSEngine:
         """Non-streaming synthesis → (waveform f32, sample_rate)
         (reference: tts_engine.py:211-218)."""
         self.initialize()
+        if (self._fused_chunks and self.vocoder_weights is not None
+                and self._voc_kind == "code2wav"):
+            # code2wav chunks are gapless by construction (left-context
+            # decode), so the utterance waveform is their concatenation —
+            # identical to the streamed output, and the (dominant-FLOPs)
+            # vocoder runs once instead of per-chunk-plus-full-redecode
+            parts = [audio for audio, _fr in
+                     self._generate_audio_chunks(text, self.config.chunk_frames)]
+            if not parts:
+                return np.array([], dtype=np.float32), self.sample_rate
+            return np.concatenate(parts), self.sample_rate
         if self._fused_chunks and self.vocoder_weights is not None:
             # ride the warmed streaming signatures; per-chunk audio is
             # discarded and the waveform is decoded ONCE over all frames —
@@ -729,6 +753,7 @@ class TTSEngine:
             enqueue(chunk_size)                      # depth-1 speculation
 
         produced = 0
+        prev_np = None        # previous FULL chunk's codes (terminal redecode)
         while q:
             codes, valid, audio, n, base = q.popleft()
             if base >= max_frames:
@@ -740,6 +765,7 @@ class TTSEngine:
             self._frames_generated = produced
             if keep == n:
                 yield audio_np[: keep * hop].astype(np.float32), frames
+                prev_np = codes_np[:n]
                 # keep the pipe depth-1 full — enqueued AFTER the yield so
                 # an early generator close (e.g. a TTFC probe) leaves at
                 # most ONE speculative chunk on the device, not two
@@ -747,12 +773,34 @@ class TTSEngine:
                     enqueue(chunk_size)
             else:
                 if keep > 0:
-                    audio_exact, _ = self._decode_to_audio(frames)
-                    yield audio_exact, frames
+                    yield self._terminal_chunk_audio(frames, n, prev_np), frames
                 break                                 # EOS inside this chunk
             if keep < n or produced >= max_frames:
                 break
         self._talker_state = state
+
+    def _terminal_chunk_audio(self, frames, n, prev_np):
+        """Audio for a PARTIAL terminal chunk.
+
+        code2wav: repeat-pad to the chunk signature and decode with the
+        previous chunk as left context, slicing the valid samples — same
+        timeline convention (front-padded by `deficit`) and same gapless
+        joint as every preceding chunk (re-decoding via the raw/tail-pad
+        window path would shift this chunk ~23 ms and lose its history).
+        Other backends re-decode exactly via _decode_to_audio."""
+        if (self._voc_kind == "code2wav" and self.vocoder_weights is not None
+                and prev_np is not None):
+            hop = self.vocoder_config.hop_length
+            cur = np.stack(frames)
+            k = len(frames)
+            if k < n:
+                pad = np.broadcast_to(cur[-1], (n - k, cur.shape[1]))
+                cur = np.concatenate([cur, pad])
+            wav = self._voc_ctx_jit(self.vocoder_weights, jnp.asarray(cur),
+                                    jnp.asarray(prev_np))
+            return np.asarray(wav, dtype=np.float32)[: k * hop]
+        audio_exact, _ = self._decode_to_audio(frames)
+        return audio_exact
 
     def _generate_codec_chunks(
         self, text: str, first_chunk: int = 1, chunk_size: Optional[int] = None,
@@ -781,13 +829,14 @@ class TTSEngine:
             n = sizes.pop(0) if sizes else chunk_size
             state, codes, valid, prev_token, hidden = frames_chunk(
                 mc.talker, mc.code_predictor,
-                self.weights.talker, self.weights.code_predictor,
+                self._talker_step_w, self.weights.code_predictor,
                 state, prev_token, hidden,
                 trailing, jnp.int32(trailing_len), jnp.int32(produced),
                 self._tts_pad_embed, loop_rng,
                 num_frames=n, do_sample=cfg.subtalker_do_sample,
                 temperature=cfg.subtalker_temperature,
-                top_k=cfg.subtalker_top_k, attn_impl=self._attn_impl)
+                top_k=cfg.subtalker_top_k, attn_impl=self._attn_impl,
+                cp_step_w=self._cp_step_w)
             codes_np = np.asarray(codes)
             valid_np = np.asarray(valid)
             keep = int(valid_np.sum())
@@ -826,7 +875,7 @@ class TTSEngine:
                 break
             result = frame_step(
                 mc.talker, mc.code_predictor,
-                self.weights.talker, self.weights.code_predictor,
+                self._talker_step_w, self.weights.code_predictor,
                 state, prev_token, hidden,
                 trailing, jnp.int32(trailing_len), jnp.int32(trailing_idx),
                 self._tts_pad_embed,
@@ -835,6 +884,7 @@ class TTSEngine:
                 temperature=cfg.subtalker_temperature,
                 top_k=cfg.subtalker_top_k,
                 attn_impl=self._attn_impl,
+                cp_step_w=self._cp_step_w,
             )
             state = result.state
             prev_token = result.next_token

@@ -61,12 +61,22 @@ def save_vocoder(path: str, w: VocoderWeights):
     save_file(_flatten(w), path)
 
 
-def _normalize_keys(state: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+def _normalize_keys(
+    state: dict[str, np.ndarray],
+) -> dict[str, np.ndarray] | None:
+    """Strip at most ONE wrapper prefix per key (cumulative stripping would
+    collapse 'model.decoder.x' and 'x' onto one name). Returns None when two
+    distinct source keys normalize to the same name — letting the dict
+    silently overwrite would drop a tensor and send its leaf into the
+    shape-match fallback, which could bind a wrong tensor."""
     out = {}
     for k, v in state.items():
         for p in _STRIP_PREFIXES:
             if k.startswith(p):
                 k = k[len(p):]
+                break
+        if k in out:
+            return None
         out[k] = v
     return out
 
@@ -87,6 +97,8 @@ def convert_vocoder_state(
     template = init_vocoder_weights(jax.random.PRNGKey(0), cfg)
     ref = _flatten(template)
     src = _normalize_keys(state)
+    if src is None:
+        return None
 
     resolved: dict[str, np.ndarray] = {}
     unclaimed = dict(src)
@@ -159,6 +171,18 @@ def load_code2wav(path: str, cfg):
                 if k.startswith(p):
                     k = k[len(p):]
             normalized[k] = v
-        return convert_code2wav_state(normalized, cfg)
+        w = convert_code2wav_state(normalized, cfg)
+        # shape-validate against the config (eval_shape: no allocation) —
+        # a right-keys/wrong-dims checkpoint must degrade to None per the
+        # documented contract, not crash later at jit-trace time
+        from .code2wav import init_code2wav_weights
+
+        import jax
+
+        spec = jax.eval_shape(
+            lambda: init_code2wav_weights(jax.random.PRNGKey(0), cfg))
+        ok = jax.tree.all(jax.tree.map(
+            lambda a, b: a.shape == b.shape, w, spec))
+        return w if ok else None
     except Exception:
         return None

@@ -145,6 +145,15 @@ def test_load_code2wav_plain_torch_keys(tmp_path, torch_model, jax_setup):
     np.testing.assert_array_equal(
         np.asarray(w.layers[0].wq), np.asarray(w_ref.layers[0].wq))
 
+    # right keys / wrong dims must degrade to None (documented contract),
+    # not crash later at jit-trace time
+    wrong = dict(flat)
+    wrong["code_embedding.weight"] = np.zeros(
+        (3, 3), dtype=flat["code_embedding.weight"].dtype)
+    path3 = tmp_path / "wrongdims.safetensors"
+    save_file(wrong, str(path3))
+    assert load_code2wav(str(path3), cfg) is None
+
 
 def test_output_bounded(jax_setup):
     cfg, _ = jax_setup
