@@ -1,12 +1,19 @@
 #!/usr/bin/env python3
 """Headline benchmarks, driver-readable: one JSON line per metric.
 
-Default (`--mode full`) measures, in order:
-  {"metric": "ttfc_ms", ...}              streaming time-to-first-chunk
-  {"metric": "rtf_nonstreaming", ...}     wall / audio-duration, synthesize()
-  {"metric": "rtf_streaming", ...}        wall / audio-duration, streaming
-  {"metric": "talker_decode_tok_s...", .} talker decode throughput (LAST —
-                                          the driver's parsed headline)
+CONTRACT (learned from rounds 1-2): the driver runs a bare `python bench.py`
+under a `timeout` and parses the LAST JSON line printed. Round 2's default
+front-loaded a multi-minute engine compile and was killed before one metric
+line landed (BENCH_r02.json rc=124). So the default mode now:
+
+  1. emits `tunnel_rtt_ms` immediately (host↔device weather — TTFC numbers
+     are uninterpretable without it),
+  2. runs the FASTEST tok/s config first and emits its line (valid headline
+     on disk within one kernel compile, ~2 min),
+  3. spends whatever remains of `--budget` on richer metrics (second tok/s
+     backend, engine TTFC/RTF), each emitted when measured,
+  4. re-emits the best tok/s line LAST so the driver's parsed headline is
+     always the throughput number regardless of which phases fit.
 
 Methodology matches the reference benchmarks:
 - TTFC = wall time from `synthesize_streaming(text)` to the first audio
@@ -14,8 +21,8 @@ Methodology matches the reference benchmarks:
   README.md:10 — 81.6 ms streaming baseline).
 - RTF = best wall / generated-audio-duration over the public API
   (reference: benchmarks/measure_rtf.py:126-153 — 0.177 / 0.234 baselines).
-- tok/s = N timed decode steps as ONE `lax.scan`-style megakernel with
-  on-device token feedback (the generate_nosync equivalent, reference:
+- tok/s = N timed decode steps as ONE megakernel dispatch with on-device
+  token feedback (the generate_nosync equivalent, reference:
   csrc/kernel.cu:1555-1613, benchmarks/measure_tok_s.py:18-75 — ~1,000
   tok/s baseline), warmup excluded.
 Sync discipline: every timing ends in a host transfer (`np.asarray`) —
@@ -34,6 +41,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+T_START = time.perf_counter()
+
+
+def elapsed() -> float:
+    return time.perf_counter() - T_START
+
 
 def emit(metric, value, unit, vs_baseline):
     print(json.dumps({
@@ -44,7 +57,27 @@ def emit(metric, value, unit, vs_baseline):
     }), flush=True)
 
 
-def bench_tok_s(args):
+def measure_rtt() -> float:
+    """Median host↔device round trip (ms): upload 1 scalar, read it back."""
+    times = []
+    x = jnp.zeros((8, 128), jnp.float32)  # tiny, tile-aligned
+    f = jax.jit(lambda a: a + 1.0)
+    np.asarray(f(x))                      # compile outside the timing
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(f(jnp.asarray(np.zeros((8, 128), np.float32))))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1000.0)
+
+
+_SUFFIX = {"megagen-int8": "_int8_weights",
+           "megagen-int4": "_int4_weights",
+           "megagen-int8-kv8": "_int8_weights_kv8",
+           "megagen-int4-kv8": "_int4_weights_kv8"}
+
+
+def bench_tok_s(args, backend: str):
+    """One generate-megakernel backend; returns (metric, value) and emits."""
     from qwen_tts_tpu.core.config import CODEC_BOS, DecoderConfig
     from qwen_tts_tpu.core.weights import init_decoder_weights
     from qwen_tts_tpu.models.decoder import init_state
@@ -53,12 +86,12 @@ def bench_tok_s(args):
     cfg = DecoderConfig(max_seq_len=args.max_seq)
     w = init_decoder_weights(jax.random.PRNGKey(0), cfg)
 
-    if args.backend.startswith("megagen"):
+    if backend.startswith("megagen"):
         from qwen_tts_tpu.ops.generate_kernel import generate_megakernel
 
         gen_w = w
-        base = args.backend.removesuffix("-kv8")
-        kv_dtype = jnp.int8 if args.backend.endswith("-kv8") else jnp.bfloat16
+        base = backend.removesuffix("-kv8")
+        kv_dtype = jnp.int8 if backend.endswith("-kv8") else jnp.bfloat16
         if base == "megagen-int8":
             from qwen_tts_tpu.core.weights import quantize_decoder_weights
 
@@ -75,13 +108,11 @@ def bench_tok_s(args):
             # host transfer = the only honest sync on this platform
             return np.asarray(tokens)
     else:
-        attn_impl = args.backend
-
         def run():
             state = init_state(cfg)
             state, tokens = generate_tokens(
                 cfg, w, state, jnp.int32(CODEC_BOS), args.steps,
-                attn_impl=attn_impl)
+                attn_impl=backend)
             return np.asarray(tokens)
 
     for _ in range(args.warmup):
@@ -93,11 +124,9 @@ def bench_tok_s(args):
         best = min(best, time.perf_counter() - t0)
 
     tok_s = args.steps / best
-    suffix = {"megagen-int8": "_int8_weights",
-              "megagen-int4": "_int4_weights",
-              "megagen-int8-kv8": "_int8_weights_kv8",
-              "megagen-int4-kv8": "_int4_weights_kv8"}.get(args.backend, "")
-    emit("talker_decode_tok_s" + suffix, tok_s, "tok/s", tok_s / 1000.0)
+    metric = "talker_decode_tok_s" + _SUFFIX.get(backend, "")
+    emit(metric, tok_s, "tok/s", tok_s / 1000.0)
+    return metric, tok_s
 
 
 def bench_engine(args):
@@ -129,6 +158,10 @@ def bench_engine(args):
         return time.perf_counter() - t0, total
 
     from qwen_tts_tpu.utils.timing import drain_device
+
+    # RTT again, right next to TTFC: the tunnel weather drifts over minutes
+    # and TTFC carries ~2×RTT (upload + readback)
+    emit("tunnel_rtt_ms", measure_rtt(), "ms", 1.0)
 
     # warm each signature (trailing buckets) once before timing; drain the
     # device queue between runs — an aclose()d stream leaves a speculative
@@ -171,35 +204,56 @@ def main():
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--quantize", action="store_true")
-    p.add_argument("--backend", default="megagen-int8",
+    p.add_argument("--budget", type=float, default=420.0,
+                   help="soft wall-clock budget (s) for the full mode; "
+                        "optional phases are skipped when the remaining "
+                        "budget can't cover their cost estimate")
+    p.add_argument("--backend", default="megagen-int4-kv8",
                    choices=["megagen", "megagen-int8", "megagen-int4",
                             "megagen-int8-kv8", "megagen-int4-kv8",
                             "mega", "pallas", "dense"])
     args = p.parse_args()
 
-    if args.mode in ("full", "engine"):
+    if args.mode == "tok":
+        bench_tok_s(args, args.backend)
+        return
+    if args.mode == "engine":
+        bench_engine(args)
+        return
+
+    # ── full mode: cheap-but-valid first, richer after, headline LAST ──
+    emit("tunnel_rtt_ms", measure_rtt(), "ms", 1.0)
+
+    headline = None
+    for backend in (args.backend, "megagen-int8"):
+        try:
+            headline = bench_tok_s(args, backend)
+            break
+        except Exception as e:   # fall back rather than die headline-less
+            print(f"tok bench {backend} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+    phase1 = elapsed()           # ≈ compile + runs of one backend
+
+    # a second backend costs roughly another compile+runs of the same shape
+    if headline is not None and elapsed() + phase1 < args.budget:
+        try:
+            m, v = bench_tok_s(args, "megagen-int8")
+            if v > headline[1]:
+                headline = (m, v)
+        except Exception as e:
+            print(f"tok bench megagen-int8 failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
+    # engine init compiles the fused cold/chunk paths (~3-4 min cold)
+    if elapsed() + 240.0 < args.budget:
         try:
             bench_engine(args)
-        except Exception as e:  # keep the tok/s headline alive regardless
+        except Exception as e:
             print(f"engine bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
-            if args.mode == "engine":
-                raise
-    if args.mode == "tok":
-        bench_tok_s(args)
-    elif args.mode == "full":
-        # quantized decode modes; int4 + int8-KV-cache (the fastest) last =
-        # the driver's parsed headline
-        import copy
 
-        for backend in ("megagen-int8", "megagen-int4", "megagen-int4-kv8"):
-            a = copy.copy(args)
-            a.backend = backend
-            try:
-                bench_tok_s(a)
-            except Exception as e:
-                print(f"tok bench {backend} failed: {type(e).__name__}: {e}",
-                      file=sys.stderr, flush=True)
+    if headline is not None:     # the driver parses the LAST line
+        emit(headline[0], headline[1], "tok/s", headline[1] / 1000.0)
 
 
 if __name__ == "__main__":

@@ -39,8 +39,9 @@ from qwen_tts_tpu.ops import decode_step as ds
 from qwen_tts_tpu.ops import generate_kernel as gk
 
 
-def make_mms_shift():
-    """make_mms with shift-based int4 sign extension."""
+def _make_mms_int4(unpack):
+    """make_mms with a custom int4 nibble sign-extension `unpack(wi) → (lo, hi)`
+    (wi is the packed byte widened to int32; halves are returned as bf16)."""
     base_mm, base_scaled = ds.make_mms()
 
     def _grouped(ah, wh, sh):
@@ -56,15 +57,31 @@ def make_mms_shift():
     def mm_scaled(a, w, s):
         ng = s.shape[0]
         if 2 * w.shape[0] == a.shape[1]:               # packed int4
-            wi = w.astype(jnp.int32)
-            lo = ((wi << 28) >> 28).astype(jnp.bfloat16)
-            hi = (wi >> 4).astype(jnp.bfloat16)
+            lo, hi = unpack(w.astype(jnp.int32))
             half = a.shape[1] // 2
             return (_grouped(a[:, :half], lo, s[: ng // 2]) +
                     _grouped(a[:, half:], hi, s[ng // 2:]))
         return base_scaled(a, w, s)
 
     return base_mm, mm_scaled
+
+
+def make_mms_shift():
+    """Arithmetic-shift sign extension (production form since round 2):
+    3 ops — `(w<<28)>>28` for the low nibble, `w>>4` for the high."""
+    return _make_mms_int4(lambda wi: (
+        ((wi << 28) >> 28).astype(jnp.bfloat16),
+        (wi >> 4).astype(jnp.bfloat16)))
+
+
+def make_mms_mask():
+    """Mask/xor/sub sign extension (the pre-round-2 production form this A/B
+    originally measured against): 4 logical ops — `((w & 15) ^ 8) - 8` for
+    the low nibble; the high nibble still needs the arithmetic shift to
+    reach the bits, then the same identity."""
+    return _make_mms_int4(lambda wi: (
+        (((wi & 15) ^ 8) - 8).astype(jnp.bfloat16),
+        ((((wi >> 4) & 15) ^ 8) - 8).astype(jnp.bfloat16)))
 
 
 def bench(cfg, gen_w, steps, warmup=1, repeats=2):
@@ -100,7 +117,7 @@ def main():
     modes = [
         ("int8", lambda: quantize_decoder_weights(w), None),
         ("int8-g128", lambda: quantize_decoder_weights(w, group_size=128), None),
-        ("int4-mask", lambda: quantize_decoder_weights_int4(w), ds.make_mms),
+        ("int4-mask", lambda: quantize_decoder_weights_int4(w), make_mms_mask),
         ("int4-shift", lambda: quantize_decoder_weights_int4(w), make_mms_shift),
     ]
     for name, qf, mms in modes:

@@ -170,6 +170,13 @@ def load_code2wav(path: str, cfg):
             for p in ("speech_tokenizer.", "model.", "code2wav."):
                 if k.startswith(p):
                     k = k[len(p):]
+            if k in normalized:
+                # two distinct source keys collapsed to one name (e.g. a
+                # checkpoint holding both 'model.decoder.0.conv.weight' and
+                # 'decoder.0.conv.weight') — a same-shape wrong tensor would
+                # silently win and pass the eval_shape check below; degrade
+                # to None like every other malformed-checkpoint case
+                return None
             normalized[k] = v
         w = convert_code2wav_state(normalized, cfg)
         # shape-validate against the config (eval_shape: no allocation) —
