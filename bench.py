@@ -133,8 +133,10 @@ def bench_engine(args):
     """TTFC + RTF through the public engine API (warm paths)."""
     from qwen_tts_tpu.engine.tts_engine import TTSConfig, TTSEngine
 
+    quant = False if args.quantize in (None, "none") else args.quantize
     eng = TTSEngine(TTSConfig(max_seq_len=args.engine_max_seq,
-                              quantize=args.quantize))
+                              quantize=quant,
+                              kv_cache="int8" if args.kv8 else "bf16"))
     eng.initialize()
 
     short = "The quick brown fox jumps over the lazy dog."
@@ -203,7 +205,11 @@ def main():
     p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--runs", type=int, default=3)
-    p.add_argument("--quantize", action="store_true")
+    p.add_argument("--quantize", default="none",
+                   choices=["none", "int8", "int4"],
+                   help="engine weight quantization tier (serving path)")
+    p.add_argument("--kv8", action="store_true",
+                   help="engine int8 KV cache (serving path)")
     p.add_argument("--budget", type=float, default=420.0,
                    help="soft wall-clock budget (s) for the full mode; "
                         "optional phases are skipped when the remaining "

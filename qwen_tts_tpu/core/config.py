@@ -53,6 +53,13 @@ class DecoderConfig:
     # RoPE. When set, decode paths accept an `mrope_pos [3]` of per-section
     # positions; equal components reproduce standard RoPE bit-exactly.
     mrope_section: tuple[int, ...] | None = None
+    # Frequency-index → section layout. False = chunked [TT..HH..WW]
+    # (Qwen2.5-Omni style: section s owns a contiguous run of sec[s]
+    # indices). True = interleaved [THW THW .. TT] (Qwen3-Omni style,
+    # transformers modeling_qwen3_omni_moe.py apply_interleaved_mrope:
+    # index j belongs to section s∈{1,2} iff j % 3 == s and
+    # j < 3*sec[s], else to section 0 — preserving frequency continuity).
+    mrope_interleaved: bool = False
 
     @property
     def q_size(self) -> int:

@@ -352,8 +352,12 @@ class QuantDecoderWeights(NamedTuple):
     layers: QuantLayerWeights
     final_norm: jax.Array
     embed: jax.Array        # bf16 (gathered rows only)
-    lm_head: jax.Array      # bf16 (single 6 MB read per step)
+    lm_head: jax.Array      # bf16 [H, V], or int8 when lm_head_s is set
     rope: "RopeTable"
+    # int8 LM head (per-output-channel scales): halves the ~6 MB/step head
+    # read — the head is inside the reference's kernel too
+    # (reference: csrc/kernel.cu:1022-1185). None = bf16 head.
+    lm_head_s: jax.Array | None = None   # [1, V] f32
 
 
 def _quant_mat(w: jax.Array, group_size: int | None = None):
@@ -381,8 +385,15 @@ def _quant_mat(w: jax.Array, group_size: int | None = None):
             scale[:, :, 0, :].astype(jnp.float32))
 
 
+def quantize_lm_head(lm_head: jax.Array):
+    """[H, V] bf16 → (int8 [H, V], f32 [1, V]) per-output-channel."""
+    q, s = _quant_mat(lm_head[None], None)
+    return q[0], s[0]
+
+
 def quantize_decoder_weights(
     w: DecoderWeights, group_size: int | None = None,
+    quant_head: bool = True,
 ) -> QuantDecoderWeights:
     """bf16 DecoderWeights → int8 weight-only quantized form."""
     lw = w.layers
@@ -390,6 +401,8 @@ def quantize_decoder_weights(
     wo_q, wo_s = _quant_mat(lw.wo, group_size)
     wgu_q, wgu_s = _quant_mat(lw.w_gate_up, group_size)
     wd_q, wd_s = _quant_mat(lw.w_down, group_size)
+    head, head_s = (quantize_lm_head(w.lm_head) if quant_head
+                    else (w.lm_head, None))
     return QuantDecoderWeights(
         layers=QuantLayerWeights(
             input_norm=lw.input_norm, q_norm=lw.q_norm, k_norm=lw.k_norm,
@@ -397,8 +410,8 @@ def quantize_decoder_weights(
             wqkv_q=wqkv_q, wqkv_s=wqkv_s, wo_q=wo_q, wo_s=wo_s,
             w_gate_up_q=wgu_q, w_gate_up_s=wgu_s,
             w_down_q=wd_q, w_down_s=wd_s),
-        final_norm=w.final_norm, embed=w.embed, lm_head=w.lm_head,
-        rope=w.rope)
+        final_norm=w.final_norm, embed=w.embed, lm_head=head,
+        rope=w.rope, lm_head_s=head_s)
 
 
 def dequantize_layer_weights(q: QuantLayerWeights) -> LayerWeights:
@@ -460,8 +473,11 @@ class Quant4DecoderWeights(NamedTuple):
     layers: Quant4LayerWeights
     final_norm: jax.Array
     embed: jax.Array        # bf16 (gathered rows only)
-    lm_head: jax.Array      # bf16 (single 6 MB read per step)
+    lm_head: jax.Array      # bf16 [H, V], or int8 when lm_head_s is set
     rope: "RopeTable"
+    # int8 head (the head stays int8 even in int4 mode: argmax ties are
+    # sensitive and the head is read once per step, not per layer)
+    lm_head_s: jax.Array | None = None   # [1, V] f32
 
 
 def pack_int4(q: jax.Array) -> jax.Array:
@@ -511,6 +527,7 @@ def _quant_mat_int4(w: jax.Array, group_size: int = INT4_GROUP):
 
 def quantize_decoder_weights_int4(
     w: DecoderWeights, group_size: int = INT4_GROUP,
+    quant_head: bool = True,
 ) -> Quant4DecoderWeights:
     """bf16 DecoderWeights → int4 group-wise weight-only quantized form."""
     lw = w.layers
@@ -518,6 +535,8 @@ def quantize_decoder_weights_int4(
     wo_q, wo_s = _quant_mat_int4(lw.wo, group_size)
     wgu_q, wgu_s = _quant_mat_int4(lw.w_gate_up, group_size)
     wd_q, wd_s = _quant_mat_int4(lw.w_down, group_size)
+    head, head_s = (quantize_lm_head(w.lm_head) if quant_head
+                    else (w.lm_head, None))
     return Quant4DecoderWeights(
         layers=Quant4LayerWeights(
             input_norm=lw.input_norm, q_norm=lw.q_norm, k_norm=lw.k_norm,
@@ -525,8 +544,36 @@ def quantize_decoder_weights_int4(
             wqkv_q=wqkv_q, wqkv_s=wqkv_s, wo_q=wo_q, wo_s=wo_s,
             w_gate_up_q=wgu_q, w_gate_up_s=wgu_s,
             w_down_q=wd_q, w_down_s=wd_s),
-        final_norm=w.final_norm, embed=w.embed, lm_head=w.lm_head,
-        rope=w.rope)
+        final_norm=w.final_norm, embed=w.embed, lm_head=head,
+        rope=w.rope, lm_head_s=head_s)
+
+
+def dequant_mat_slice(qm: jax.Array, s: jax.Array) -> jax.Array:
+    """ONE layer's int8 weight [in, out] + scales [ng, out] → bf16 [in, out].
+
+    The per-layer form of `dequantize_layer_weights`, shaped for use inside
+    a `lax.scan` body: the quant-aware T>1 prefill streams one layer's int8
+    slab from HBM and dequantizes on the fly, so quantize mode needs NO
+    resident bf16 weight copy (reference keeps a single weight copy total,
+    model_tts.py:56-179)."""
+    n_in, n_out = qm.shape
+    ng = s.shape[0]
+    if ng == 1:
+        return (qm.astype(jnp.float32) * s).astype(jnp.bfloat16)
+    wf = qm.astype(jnp.float32).reshape(ng, n_in // ng, n_out)
+    return (wf * s[:, None, :]).reshape(n_in, n_out).astype(jnp.bfloat16)
+
+
+def dequant_mat_slice_int4(qm: jax.Array, s: jax.Array) -> jax.Array:
+    """ONE layer's nibble-packed int4 weight [in/2, out] + group scales
+    [ng, out] → bf16 [in, out] (halves layout, see pack_int4)."""
+    n_half, n_out = qm.shape
+    n_in = n_half * 2
+    ng = s.shape[0]
+    lo, hi = unpack_int4(qm)
+    wf = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
+    wf = wf.reshape(ng, n_in // ng, n_out) * s[:, None, :]
+    return wf.reshape(n_in, n_out).astype(jnp.bfloat16)
 
 
 def dequantize_layer_weights_int4(q: Quant4LayerWeights) -> LayerWeights:

@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.config import DecoderConfig
 from ..core.weights import DecoderWeights, LayerWeights
@@ -94,30 +95,59 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
 
+def mrope_section_masks(cfg: DecoderConfig) -> list:
+    """Boolean masks [d2] assigning each rotary frequency index to a section.
+
+    Chunked layout (`mrope_interleaved=False`): section s owns the
+    contiguous run [Σsec[:s], Σsec[:s+1]) — Qwen2.5-Omni style. Interleaved
+    (`True`): index j belongs to section s∈{1,..} iff j % n == s and
+    j < n*sec[s] (n = number of sections), else to section 0 — the
+    Qwen3-Omni scheme (transformers modeling_qwen3_omni_moe.py
+    `apply_interleaved_mrope`), which preserves frequency continuity."""
+    d2 = cfg.head_dim // 2
+    secs = cfg.mrope_section
+    assert secs is not None and sum(secs) == d2, (secs, d2)
+    j = np.arange(d2)
+    n = len(secs)
+    if cfg.mrope_interleaved:
+        masks = []
+        taken = np.zeros(d2, dtype=bool)
+        for s in range(n - 1, 0, -1):
+            m = (j % n == s) & (j < n * secs[s])
+            masks.append((s, m))
+            taken |= m
+        out = [None] * n
+        out[0] = ~taken
+        for s, m in masks:
+            out[s] = m
+        return [jnp.asarray(m) for m in out]
+    out = []
+    start = 0
+    for s in range(n):
+        out.append(jnp.asarray((j >= start) & (j < start + secs[s])))
+        start += secs[s]
+    return out
+
+
 def mrope_rows(cfg: DecoderConfig, rope, mrope_pos: jax.Array, T: int):
     """Compose [T, D//2] cos/sin rows for M-RoPE.
 
     `cfg.mrope_section` (e.g. (24, 20, 20)) partitions the D//2 rotary
-    frequency indices; section s rotates by position `mrope_pos[s] + t` for
-    the chunk's t-th token. With all components equal this reproduces
-    standard RoPE bit-exactly — the known reference limitation this lifts
+    frequency indices (chunked or interleaved per `cfg.mrope_interleaved`);
+    section s rotates by position `mrope_pos[s] + t` for the chunk's t-th
+    token. With all components equal this reproduces standard RoPE
+    bit-exactly — the known reference limitation this lifts
     (reference: README.md:204-208, docs/02-kernel-adaptation.md)."""
     d2 = cfg.head_dim // 2
     secs = cfg.mrope_section
-    assert secs is not None and sum(secs) == d2, (secs, d2)
-    cos_rows = [
-        jax.lax.dynamic_slice(rope.cos, (mrope_pos[i], 0), (T, d2))
-        for i in range(len(secs))]
-    sin_rows = [
-        jax.lax.dynamic_slice(rope.sin, (mrope_pos[i], 0), (T, d2))
-        for i in range(len(secs))]
-    j = jnp.arange(d2)[None, :]                     # [1, d2]
-    cos, sin = cos_rows[-1], sin_rows[-1]
-    bound = d2
-    for i in range(len(secs) - 2, -1, -1):
-        bound -= secs[i + 1]
-        cos = jnp.where(j < bound, cos_rows[i], cos)
-        sin = jnp.where(j < bound, sin_rows[i], sin)
+    masks = mrope_section_masks(cfg)
+    cos = jnp.zeros((T, d2), rope.cos.dtype)
+    sin = jnp.zeros((T, d2), rope.sin.dtype)
+    for i in range(len(secs)):
+        c_i = jax.lax.dynamic_slice(rope.cos, (mrope_pos[i], 0), (T, d2))
+        s_i = jax.lax.dynamic_slice(rope.sin, (mrope_pos[i], 0), (T, d2))
+        cos = jnp.where(masks[i][None, :], c_i, cos)
+        sin = jnp.where(masks[i][None, :], s_i, sin)
     return cos, sin
 
 
@@ -144,9 +174,11 @@ def _dense_mixed_attention(
     q: jax.Array,            # [T, HQ, D] f32
     k_chunk: jax.Array,      # [T, KVH, D] f32 — this chunk's keys (post-RoPE)
     v_chunk: jax.Array,      # [T, KVH, D] f32
-    k_old: jax.Array,        # [KVH, S, D] bf16 — old cache entries (< start_pos)
+    k_old: jax.Array,        # [KVH, S, D] bf16|int8 — old entries (< start_pos)
     v_old: jax.Array,
     start_pos: jax.Array,    # int32
+    ks_old: jax.Array | None = None,   # [KVH, S] f32 dequant scales (int8 KV)
+    vs_old: jax.Array | None = None,
 ) -> jax.Array:
     """Attention over old cache + causal intra-chunk, without writing the
     cache. Exactly equivalent to attending over the updated cache.
@@ -165,6 +197,8 @@ def _dense_mixed_attention(
 
     qh = q.transpose(1, 0, 2).reshape(h_kv, g, T, d)            # [KVH, G, T, D]
 
+    kv8 = ks_old is not None
+
     C = min(256, S)
     if S % C == 0:
         def blk(ci, carry):
@@ -173,6 +207,11 @@ def _dense_mixed_attention(
                 k_old, (0, ci * C, 0), (h_kv, C, d)).astype(jnp.float32)
             vb = jax.lax.dynamic_slice(
                 v_old, (0, ci * C, 0), (h_kv, C, d)).astype(jnp.float32)
+            if kv8:
+                kb = kb * jax.lax.dynamic_slice(
+                    ks_old, (0, ci * C), (h_kv, C))[:, :, None]
+                vb = vb * jax.lax.dynamic_slice(
+                    vs_old, (0, ci * C), (h_kv, C))[:, :, None]
             s = jnp.einsum("hgtd,hsd->hgts", qh, kb) * scale     # [KVH,G,T,C]
             col = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1) + ci * C
             s = jnp.where((col < start_pos)[None, None], s, -jnp.inf)
@@ -204,6 +243,9 @@ def _dense_mixed_attention(
 
     kf = k_old.astype(jnp.float32)
     vf = v_old.astype(jnp.float32)
+    if kv8:
+        kf = kf * ks_old[:, :, None]
+        vf = vf * vs_old[:, :, None]
 
     s_old = jnp.einsum("hgtd,hsd->hgts", qh, kf) * scale        # [KVH,G,T,S]
     key_ids = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
@@ -228,18 +270,21 @@ def _layer_forward(
     cfg: DecoderConfig,
     lw: LayerSlice,
     x: jax.Array,            # [T, H] f32 residual stream
-    k_cache: jax.Array,      # [L, KVH, S, D] bf16 — read-only, old entries
+    k_cache: jax.Array,      # [L, KVH, S, D] bf16|int8 — read-only, old entries
     v_cache: jax.Array,
     layer_idx: jax.Array,    # int32
     start_pos: jax.Array,    # int32 — first position of this chunk
     cos: jax.Array,          # [T, D//2] f32
     sin: jax.Array,
     attn_impl: str = "dense",
+    k_scale: jax.Array | None = None,   # [L, KVH, S] f32 (int8 KV mode)
+    v_scale: jax.Array | None = None,
 ):
     """One decoder layer over a T-token chunk (T=1 decode, T>1 prefill).
 
-    Returns (x_out [T,H] f32, k_new [KVH,T,D] bf16, v_new [KVH,T,D] bf16) —
-    the new cache columns are handed back for a post-scan bulk update.
+    Returns (x_out [T,H] f32, k_new [KVH,T,D], v_new [KVH,T,D]) — the new
+    cache columns (bf16, or f32 in int8-KV mode so the post-scan bulk
+    update quantizes from full-precision values, matching the kernels).
     """
     T = x.shape[0]
     h_q, h_kv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
@@ -257,7 +302,8 @@ def _layer_forward(
     q = apply_rope(q, cos[:, None, :], sin[:, None, :])
     k = apply_rope(k, cos[:, None, :], sin[:, None, :])
 
-    if attn_impl == "pallas" and T == 1:
+    kv8 = k_scale is not None
+    if attn_impl == "pallas" and T == 1 and not kv8:
         from ..ops.attention import decode_attention
 
         attn = decode_attention(
@@ -266,7 +312,12 @@ def _layer_forward(
     else:
         k_old = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0, False)
         v_old = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, False)
-        attn = _dense_mixed_attention(cfg, q, k, v, k_old, v_old, start_pos)
+        ks_old = vs_old = None
+        if kv8:
+            ks_old = jax.lax.dynamic_index_in_dim(k_scale, layer_idx, 0, False)
+            vs_old = jax.lax.dynamic_index_in_dim(v_scale, layer_idx, 0, False)
+        attn = _dense_mixed_attention(cfg, q, k, v, k_old, v_old, start_pos,
+                                      ks_old, vs_old)
 
     x = x + _matmul(attn.astype(jnp.bfloat16), lw.wo)
 
@@ -276,8 +327,9 @@ def _layer_forward(
     mlp = jax.nn.silu(gate) * up                          # SwiGLU (kernel.cu:771-821)
     x = x + _matmul(mlp.astype(jnp.bfloat16), lw.w_down)
 
-    k_new = k.astype(k_cache.dtype).transpose(1, 0, 2)    # [KVH, T, D]
-    v_new = v.astype(v_cache.dtype).transpose(1, 0, 2)
+    col_dtype = jnp.float32 if kv8 else k_cache.dtype
+    k_new = k.astype(col_dtype).transpose(1, 0, 2)        # [KVH, T, D]
+    v_new = v.astype(col_dtype).transpose(1, 0, 2)
     return x, k_new, v_new
 
 
@@ -315,31 +367,85 @@ def forward_chunk(
 
     L = cfg.num_layers
     k_cache, v_cache = state.k_cache, state.v_cache
+    kv8 = state.k_scale is not None
+
+    lw_all = w.layers
+    quant = hasattr(lw_all, "wqkv_q")
+    int4 = quant and lw_all.wqkv_q.shape[1] * 2 == cfg.hidden_size
 
     def body(x, layer):
-        lw = LayerSlice(*layer[:-1])
-        li = layer[-1]
+        if quant:
+            # quant-aware prefill: dequantize ONE layer's slab on the fly —
+            # same weight bytes streamed as a decode step, no resident bf16
+            # copy (reference keeps one weight copy, model_tts.py:56-179)
+            from ..core.weights import (
+                dequant_mat_slice,
+                dequant_mat_slice_int4,
+            )
+
+            (inn, qn, kn, pn, wqkv_q, wqkv_s, wo_q, wo_s,
+             wgu_q, wgu_s, wd_q, wd_s, li) = layer
+            dq = dequant_mat_slice_int4 if int4 else dequant_mat_slice
+            lw = LayerSlice(
+                input_norm=inn, wqkv=dq(wqkv_q, wqkv_s), q_norm=qn,
+                k_norm=kn, wo=dq(wo_q, wo_s), post_norm=pn,
+                w_gate_up=dq(wgu_q, wgu_s), w_down=dq(wd_q, wd_s))
+        else:
+            lw = LayerSlice(*layer[:-1])
+            li = layer[-1]
         x, k_new, v_new = _layer_forward(
             cfg, lw, x, k_cache, v_cache, li, pos, cos, sin,
-            attn_impl=attn_impl)
+            attn_impl=attn_impl,
+            k_scale=state.k_scale, v_scale=state.v_scale)
         return x, (k_new, v_new)
 
-    xs = tuple(getattr(w.layers, f) for f in LayerWeights._fields) + (
-        jnp.arange(L, dtype=jnp.int32),)
+    if quant:
+        fields = ("input_norm", "q_norm", "k_norm", "post_norm",
+                  "wqkv_q", "wqkv_s", "wo_q", "wo_s",
+                  "w_gate_up_q", "w_gate_up_s", "w_down_q", "w_down_s")
+        assert fields == type(lw_all)._fields  # body unpack order must match
+        xs = tuple(getattr(lw_all, f) for f in fields) + (
+            jnp.arange(L, dtype=jnp.int32),)
+    else:
+        xs = tuple(getattr(lw_all, f) for f in LayerWeights._fields) + (
+            jnp.arange(L, dtype=jnp.int32),)
     x, (k_cols, v_cols) = jax.lax.scan(body, x, xs)
     # k_cols/v_cols: [L, KVH, T, D] — one small bulk cache write per chunk.
+    k_scale, v_scale = state.k_scale, state.v_scale
+    if kv8:
+        # per-row symmetric quantization from f32 columns (same scheme as
+        # the kernels: absmax/127 over the 128-dim head row)
+        def quant_cols(cols):
+            s = jnp.maximum(jnp.max(jnp.abs(cols), axis=-1), 1e-8) / 127.0
+            q = jnp.clip(jnp.round(cols / s[..., None]), -127, 127)
+            return q.astype(jnp.int8), s.astype(jnp.float32)   # [L,KVH,T]
+
+        k_cols, k_s_cols = quant_cols(k_cols)
+        v_cols, v_s_cols = quant_cols(v_cols)
+        k_scale = jax.lax.dynamic_update_slice(k_scale, k_s_cols, (0, 0, pos))
+        v_scale = jax.lax.dynamic_update_slice(v_scale, v_s_cols, (0, 0, pos))
     k_cache = jax.lax.dynamic_update_slice(k_cache, k_cols, (0, 0, pos, 0))
     v_cache = jax.lax.dynamic_update_slice(v_cache, v_cols, (0, 0, pos, 0))
 
     normed = rms_norm(x, w.final_norm, cfg.rms_eps)       # [T, H] f32
     new_state = DecodeState(k_cache=k_cache, v_cache=v_cache,
-                            position=pos + jnp.int32(T))
+                            position=pos + jnp.int32(T),
+                            k_scale=k_scale, v_scale=v_scale)
     return new_state, normed
 
 
 def lm_head_logits(w: DecoderWeights, normed: jax.Array) -> jax.Array:
-    """Codec LM head logits f32 (reference: kernel.cu:1022-1185)."""
-    return _matmul(normed.astype(jnp.bfloat16), w.lm_head)
+    """Codec LM head logits f32 (reference: kernel.cu:1022-1185).
+
+    With an int8 head (`w.lm_head_s` set, core/weights.py quantize_lm_head)
+    the int8 weights upcast to bf16 and the per-output-channel scale lands
+    on the f32 logits."""
+    s = getattr(w, "lm_head_s", None)
+    x = normed.astype(jnp.bfloat16)
+    if s is not None:
+        return jnp.dot(x, w.lm_head.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32) * s
+    return _matmul(x, w.lm_head)
 
 
 def decode_step_with_embed(

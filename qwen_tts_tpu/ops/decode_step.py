@@ -108,31 +108,34 @@ def _megakernel(
     sd_ref,           # [1, 1, H]
     # constants (fetched once)
     final_norm_ref,   # [1, H]
-    lm_head_ref,      # [H, V]
+    lm_head_ref,      # [H, V] bf16 | int8
+    lms_ref,          # [1, V] f32 — LM-head dequant scale (ones for bf16)
     embed_ref,        # [1, H] f32 — input embedding
     cos_ref,          # [1, D//2] f32
     sin_ref,          # [1, D//2] f32
-    # HBM cache (read-only)
-    k_hbm,            # ANY [L, KVH, S, D] bf16
-    v_hbm,            # ANY [L, KVH, S, D] bf16
-    # outputs
-    k_new_ref,        # [1, KVH, 1, D] bf16 (per-layer block)
-    v_new_ref,        # [1, KVH, 1, D] bf16
-    normed_ref,       # [1, H] f32 (final hidden, written on last step)
-    logits_ref,       # [1, V] f32 (written on last step)
-    # scratch
-    x_ref,            # VMEM [1, H] f32 — residual stream, persists across grid
-    k_pre,            # VMEM [2, P, KVH, C, D] bf16 — cross-step prefetched chunks
-    v_pre,            # VMEM [2, P, KVH, C, D] bf16
-    pre_sems,         # DMA (2, P, 2)
-    k_buf,            # VMEM [2, KVH, C, D] bf16 — streaming fallback (ci >= P)
-    v_buf,            # VMEM [2, KVH, C, D] bf16
-    sems,             # DMA (2, 2)
-    *,
+    # HBM cache refs + outputs + scratch — layout depends on kv8; unpacked
+    # below (same single-ordered-list discipline as ops/generate_kernel.py)
+    *rest,
     cfg: DecoderConfig,
     chunk: int,
     prefetch_chunks: int,
+    kv8: bool,
 ):
+    if kv8:
+        (k_hbm, v_hbm, ks_hbm, vs_hbm,
+         k_new_ref, v_new_ref, ks_new_ref, vs_new_ref,
+         normed_ref, logits_ref,
+         x_ref, k_pre, v_pre, ks_pre, vs_pre, pre_sems, spre_sems,
+         k_buf, v_buf, ks_buf, vs_buf, sems, ssems) = rest
+    else:
+        (k_hbm, v_hbm,
+         k_new_ref, v_new_ref,
+         normed_ref, logits_ref,
+         x_ref, k_pre, v_pre, pre_sems,
+         k_buf, v_buf, sems) = rest
+        ks_hbm = vs_hbm = ks_new_ref = vs_new_ref = None
+        ks_pre = vs_pre = spre_sems = ks_buf = vs_buf = ssems = None
+
     li = pl.program_id(0)
     L = pl.num_programs(0)
     H, Q, KV = cfg.hidden_size, cfg.q_size, cfg.kv_size
@@ -167,6 +170,16 @@ def _megakernel(
             v_hbm.at[layer, :, pl.ds(ci * C, C), :], v_pre.at[parity, ci],
             pre_sems.at[parity, ci, 1])
 
+    def ks_pre_dma(layer, parity, ci):
+        return pltpu.make_async_copy(
+            ks_hbm.at[layer, :, pl.ds(ci * C, C)], ks_pre.at[parity, ci],
+            spre_sems.at[parity, ci, 0])
+
+    def vs_pre_dma(layer, parity, ci):
+        return pltpu.make_async_copy(
+            vs_hbm.at[layer, :, pl.ds(ci * C, C)], vs_pre.at[parity, ci],
+            spre_sems.at[parity, ci, 1])
+
     def k_dma(layer, slot, ci):
         return pltpu.make_async_copy(
             k_hbm.at[layer, :, pl.ds(ci * C, C), :], k_buf.at[slot],
@@ -177,12 +190,25 @@ def _megakernel(
             v_hbm.at[layer, :, pl.ds(ci * C, C), :], v_buf.at[slot],
             sems.at[slot, 1])
 
+    def ks_dma(layer, slot, ci):
+        return pltpu.make_async_copy(
+            ks_hbm.at[layer, :, pl.ds(ci * C, C)], ks_buf.at[slot],
+            ssems.at[slot, 0])
+
+    def vs_dma(layer, slot, ci):
+        return pltpu.make_async_copy(
+            vs_hbm.at[layer, :, pl.ds(ci * C, C)], vs_buf.at[slot],
+            ssems.at[slot, 1])
+
     def start_prefetch(layer, parity):
         for ci in range(P):
             @pl.when(ci < n_chunks)
             def _():
                 k_pre_dma(layer, parity, ci).start()
                 v_pre_dma(layer, parity, ci).start()
+                if kv8:
+                    ks_pre_dma(layer, parity, ci).start()
+                    vs_pre_dma(layer, parity, ci).start()
 
     @pl.when(li == 0)
     def _():
@@ -221,13 +247,29 @@ def _megakernel(
     q = rope(q)
     k = rope(k)
 
-    k_new_ref[0, :, 0, :] = k.astype(k_new_ref.dtype)
-    v_new_ref[0, :, 0, :] = v.astype(v_new_ref.dtype)
+    # ── stage this step's K/V column (quantized per head row in kv8 mode,
+    # same absmax/127 scheme as ops/generate_kernel.py) ──
+    if kv8:
+        k_s = jnp.maximum(jnp.max(jnp.abs(k), axis=-1, keepdims=True),
+                          1e-8) / 127.0                      # [KVH, 1]
+        v_s = jnp.maximum(jnp.max(jnp.abs(v), axis=-1, keepdims=True),
+                          1e-8) / 127.0
+        k_new_ref[0, :, 0, :] = jnp.clip(
+            jnp.round(k / k_s), -127, 127).astype(k_new_ref.dtype)
+        v_new_ref[0, :, 0, :] = jnp.clip(
+            jnp.round(v / v_s), -127, 127).astype(v_new_ref.dtype)
+        ks_new_ref[0] = k_s
+        vs_new_ref[0] = v_s
+    else:
+        k_new_ref[0, :, 0, :] = k.astype(k_new_ref.dtype)
+        v_new_ref[0, :, 0, :] = v.astype(v_new_ref.dtype)
 
     # ── chunked online-softmax attention over the old cache prefix ──
     # (first chunk's DMA was started at the top of the kernel)
-    def _accumulate(kh_all, vh_all, ci, carry):
-        """One chunk's online-softmax update from VMEM tiles [KVH, C, D]."""
+    def _accumulate(kh_all, vh_all, ks_c, vs_c, ci, carry):
+        """One chunk's online-softmax update from VMEM tiles [KVH, C, D]
+        (+ [KVH, C] dequant scales in kv8 mode, applied on the score /
+        probability side — G·C multiplies instead of C·D)."""
         m, l, acc = carry
         col = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) + ci * C
         valid = col < n_old
@@ -236,9 +278,12 @@ def _megakernel(
         for h in range(KVH):
             kh = kh_all[h].astype(jnp.float32)               # [C, D]
             qh = q[h * G:(h + 1) * G]
-            s_rows.append(jax.lax.dot_general(
+            s = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale)
+                preferred_element_type=jnp.float32) * scale
+            if kv8:
+                s = s * ks_c[h][None, :]
+            s_rows.append(s)
         s_all = jnp.where(valid, jnp.concatenate(s_rows, axis=0), -jnp.inf)
 
         m_new = jnp.maximum(m, jnp.max(s_all, axis=1, keepdims=True))
@@ -250,6 +295,12 @@ def _megakernel(
         for h in range(KVH):
             vh = vh_all[h].astype(jnp.float32)
             ph = p[h * G:(h + 1) * G]
+            if kv8:
+                # masked scale: beyond-n_old scale entries are zeros from
+                # init but could be stale after long runs — and 0 × NaN
+                # would poison the accumulation
+                vs_safe = jnp.where(valid[0], vs_c[h], 0.0)
+                ph = ph * vs_safe[None, :]
             pv_rows.append(jax.lax.dot_general(
                 ph, vh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
@@ -267,9 +318,14 @@ def _megakernel(
         def _():
             k_pre_dma(li, par, ci).wait()
             v_pre_dma(li, par, ci).wait()
+            if kv8:
+                ks_pre_dma(li, par, ci).wait()
+                vs_pre_dma(li, par, ci).wait()
 
     def pre_body(ci, carry):
-        return _accumulate(k_pre[par, ci], v_pre[par, ci], ci, carry)
+        return _accumulate(k_pre[par, ci], v_pre[par, ci],
+                           ks_pre[par, ci] if kv8 else None,
+                           vs_pre[par, ci] if kv8 else None, ci, carry)
 
     carry = jax.lax.fori_loop(0, jnp.minimum(n_chunks, P), pre_body, carry)
 
@@ -282,6 +338,9 @@ def _megakernel(
         def _():
             k_dma(li, jax.lax.rem(P, 2), P).start()
             v_dma(li, jax.lax.rem(P, 2), P).start()
+            if kv8:
+                ks_dma(li, jax.lax.rem(P, 2), P).start()
+                vs_dma(li, jax.lax.rem(P, 2), P).start()
 
         def stream_body(ci, carry):
             slot = jax.lax.rem(ci, 2)
@@ -291,10 +350,18 @@ def _megakernel(
             def _():
                 k_dma(li, nxt, ci + 1).start()
                 v_dma(li, nxt, ci + 1).start()
+                if kv8:
+                    ks_dma(li, nxt, ci + 1).start()
+                    vs_dma(li, nxt, ci + 1).start()
 
             k_dma(li, slot, ci).wait()
             v_dma(li, slot, ci).wait()
-            return _accumulate(k_buf[slot], v_buf[slot], ci, carry)
+            if kv8:
+                ks_dma(li, slot, ci).wait()
+                vs_dma(li, slot, ci).wait()
+            return _accumulate(k_buf[slot], v_buf[slot],
+                               ks_buf[slot] if kv8 else None,
+                               vs_buf[slot] if kv8 else None, ci, carry)
 
         carry = jax.lax.fori_loop(
             P, jnp.maximum(n_chunks, P), stream_body, carry)
@@ -333,12 +400,15 @@ def _megakernel(
     def _():
         start_prefetch(li + 1, jax.lax.rem(li + 1, 2))
 
-    # Final RMSNorm + fused LM head (kernel.cu:1276-1314, 1022-1185)
+    # Final RMSNorm + fused LM head (kernel.cu:1276-1314, 1022-1185).
+    # The head rides mm_scaled: bf16 (scale = ones) or int8 with one
+    # per-output-channel multiply on the f32 logits.
     @pl.when(li == L - 1)
     def _():
         nrm = rms(x, final_norm_ref[0][None, :])     # [1, H] f32
         normed_ref[:] = nrm
-        logits_ref[:] = mm(nrm.astype(jnp.bfloat16), lm_head_ref[:])
+        logits_ref[:] = mm_scaled(nrm.astype(jnp.bfloat16), lm_head_ref[:],
+                                  lms_ref[:])
 
 
 def _const_spec(shape):
@@ -379,12 +449,27 @@ def megakernel_forward(
     mrope_pos: jax.Array | None = None,   # [3] int32 (M-RoPE)
     interpret: bool = False,              # Pallas interpret mode (CPU tests)
 ):
-    """One fused decode step. Returns (new_state, logits [V] f32, normed [H] f32)."""
+    """One fused decode step. Returns (new_state, logits [V] f32, normed [H] f32).
+
+    An int8 KV cache (`init_state(cfg, jnp.int8)`) halves the
+    position-proportional cache read traffic; new columns are quantized
+    in-kernel (absmax/127 per head row) and landed — with their [L,KVH,1]
+    f32 scales — by XLA-side updates after the call (the single-step kernel
+    needs no tail ring: every prior position is already in HBM)."""
     L, H, Q, KV = cfg.num_layers, cfg.hidden_size, cfg.q_size, cfg.kv_size
     KVH, D, I, V = cfg.num_kv_heads, cfg.head_dim, cfg.intermediate_size, cfg.vocab_size
     S = cfg.max_seq_len
     C = min(chunk, S)
     check_attn_chunk(S, C)
+    kv8 = state.k_cache.dtype == jnp.int8
+    if kv8:
+        if C % 128 != 0 and not interpret:
+            raise ValueError(
+                f"int8 KV mode needs the attention chunk ({C}) to be a "
+                f"multiple of 128 (scale slices are lane-dim)")
+        if state.k_scale is None or state.v_scale is None:
+            raise ValueError("int8 KV state must carry k_scale/v_scale "
+                             "(build it with init_state(cfg, jnp.int8))")
     pos = state.position
 
     if cfg.mrope_section is not None and mrope_pos is not None:
@@ -399,9 +484,9 @@ def megakernel_forward(
 
     P = max(1, min(prefetch_chunks, -(-S // C)))
     kernel = functools.partial(_megakernel, cfg=cfg, chunk=C,
-                               prefetch_chunks=P)
+                               prefetch_chunks=P, kv8=kv8)
     lw = w.layers
-    if hasattr(lw, "wqkv_q"):   # int8 weight-only mode
+    if hasattr(lw, "wqkv_q"):   # int8 / packed-int4 weight-only mode
         wqkv, wo_m, wgu, wd = lw.wqkv_q, lw.wo_q, lw.w_gate_up_q, lw.w_down_q
         sqkv, so_s, sgu, sd = lw.wqkv_s, lw.wo_s, lw.w_gate_up_s, lw.w_down_s
     else:
@@ -409,19 +494,29 @@ def megakernel_forward(
         ones = lambda out: jnp.ones((L, 1, out), jnp.float32)
         sqkv, so_s = ones(wqkv.shape[2]), ones(H)
         sgu, sd = ones(wgu.shape[2]), ones(H)
+    lms = getattr(w, "lm_head_s", None)
+    if lms is None:
+        lms = jnp.ones((1, V), jnp.float32)
 
-    out_shapes = (
-        jax.ShapeDtypeStruct((L, KVH, 1, D), state.k_cache.dtype),  # k_new
-        jax.ShapeDtypeStruct((L, KVH, 1, D), state.v_cache.dtype),  # v_new
-        jax.ShapeDtypeStruct((1, H), jnp.float32),                  # normed
-        jax.ShapeDtypeStruct((1, V), jnp.float32),                  # logits
-    )
-    out_specs = (
-        _layer_spec((L, KVH, 1, D)),
-        _layer_spec((L, KVH, 1, D)),
-        _const_spec((1, H)),
-        _const_spec((1, V)),
-    )
+    cdt = state.k_cache.dtype
+    outs_def = [
+        (_layer_spec((L, KVH, 1, D)),
+         jax.ShapeDtypeStruct((L, KVH, 1, D), cdt)),           # k_new
+        (_layer_spec((L, KVH, 1, D)),
+         jax.ShapeDtypeStruct((L, KVH, 1, D), cdt)),           # v_new
+    ]
+    if kv8:
+        outs_def += [
+            (_layer_spec((L, KVH, 1)),
+             jax.ShapeDtypeStruct((L, KVH, 1), jnp.float32)),  # k scale
+            (_layer_spec((L, KVH, 1)),
+             jax.ShapeDtypeStruct((L, KVH, 1), jnp.float32)),  # v scale
+        ]
+    outs_def += [
+        (_const_spec((1, H)), jax.ShapeDtypeStruct((1, H), jnp.float32)),
+        (_const_spec((1, V)), jax.ShapeDtypeStruct((1, V), jnp.float32)),
+    ]
+
     in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),   # position
             _layer_spec((L, 1, H)),
@@ -438,49 +533,84 @@ def megakernel_forward(
             _layer_spec(sd.shape),
             _const_spec((1, H)),            # final_norm
             _const_spec((H, V)),            # lm_head
+            _const_spec((1, V)),            # lm_head scale
             _const_spec((1, H)),            # embed
             _const_spec((1, D // 2)),       # cos
             _const_spec((1, D // 2)),       # sin
             pl.BlockSpec(memory_space=pl.ANY),   # k cache
             pl.BlockSpec(memory_space=pl.ANY),   # v cache
         ]
-
-    k_new, v_new, normed, logits = pl.pallas_call(
-        kernel,
-        interpret=interpret,
-        grid=(L,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((1, H), jnp.float32),
-            pltpu.VMEM((2, P, KVH, C, D), state.k_cache.dtype),
-            pltpu.VMEM((2, P, KVH, C, D), state.v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, P, 2)),
-            pltpu.VMEM((2, KVH, C, D), state.k_cache.dtype),
-            pltpu.VMEM((2, KVH, C, D), state.v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_LIMIT_MB * 1024 * 1024,
-        ),
-    )(
+    operands = [
         jnp.asarray(pos, jnp.int32).reshape(1),
         lw.input_norm[:, None, :], wqkv,
         lw.q_norm[:, None, :], lw.k_norm[:, None, :],
         wo_m, lw.post_norm[:, None, :], wgu, wd,
         sqkv, so_s, sgu, sd,
-        w.final_norm[None, :], w.lm_head,
+        w.final_norm[None, :], w.lm_head, lms,
         embed.astype(jnp.float32)[None, :], cos, sin,
         state.k_cache, state.v_cache,
-    )
+    ]
+    if kv8:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),   # k scales
+                     pl.BlockSpec(memory_space=pl.ANY)]   # v scales
+        operands += [state.k_scale, state.v_scale]
+
+    scratch_shapes = [
+        pltpu.VMEM((1, H), jnp.float32),
+        pltpu.VMEM((2, P, KVH, C, D), cdt),
+        pltpu.VMEM((2, P, KVH, C, D), cdt),
+    ]
+    if kv8:
+        scratch_shapes += [
+            pltpu.VMEM((2, P, KVH, C), jnp.float32),
+            pltpu.VMEM((2, P, KVH, C), jnp.float32),
+        ]
+    scratch_shapes += [pltpu.SemaphoreType.DMA((2, P, 2))]
+    if kv8:
+        scratch_shapes += [pltpu.SemaphoreType.DMA((2, P, 2))]
+    scratch_shapes += [
+        pltpu.VMEM((2, KVH, C, D), cdt),
+        pltpu.VMEM((2, KVH, C, D), cdt),
+    ]
+    if kv8:
+        scratch_shapes += [
+            pltpu.VMEM((2, KVH, C), jnp.float32),
+            pltpu.VMEM((2, KVH, C), jnp.float32),
+        ]
+    scratch_shapes += [pltpu.SemaphoreType.DMA((2, 2))]
+    if kv8:
+        scratch_shapes += [pltpu.SemaphoreType.DMA((2, 2))]
+
+    outs = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(L,),
+        in_specs=in_specs,
+        out_specs=tuple(s for s, _ in outs_def),
+        out_shape=tuple(sh for _, sh in outs_def),
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_MB * 1024 * 1024,
+        ),
+    )(*operands)
+
+    if kv8:
+        k_new, v_new, ks_new, vs_new, normed, logits = outs
+    else:
+        k_new, v_new, normed, logits = outs
+        ks_new = vs_new = None
 
     k_cache = jax.lax.dynamic_update_slice(
         state.k_cache, k_new, (0, 0, pos, 0))
     v_cache = jax.lax.dynamic_update_slice(
         state.v_cache, v_new, (0, 0, pos, 0))
+    k_scale, v_scale = state.k_scale, state.v_scale
+    if kv8:
+        k_scale = jax.lax.dynamic_update_slice(k_scale, ks_new, (0, 0, pos))
+        v_scale = jax.lax.dynamic_update_slice(v_scale, vs_new, (0, 0, pos))
     new_state = DecodeState(k_cache=k_cache, v_cache=v_cache,
-                            position=pos + 1)
+                            position=pos + 1,
+                            k_scale=k_scale, v_scale=v_scale)
     return new_state, logits[0], normed[0]
 
 

@@ -60,7 +60,8 @@ def _gen_kernel(
     sqkv_ref, so_ref, sgu_ref, sd_ref,
     # constants
     final_norm_ref,   # [1, H]
-    lm_head_ref,      # [H, V]
+    lm_head_ref,      # [H, V] bf16 | int8
+    lms_ref,          # [1, V] f32 — LM-head dequant scale (ones for bf16)
     embed_hbm,        # ANY [Vembed, H] bf16
     embed0_ref,       # [1, H] f32
     cos_hbm,          # VMEM [S, D//2] f32
@@ -247,18 +248,24 @@ def _gen_kernel(
     else:
         # M-RoPE: frequency-index section s rotates by pos + delta[s];
         # rows are gathered per section and lane-selected (equal deltas
-        # reproduce standard RoPE bit-exactly).
+        # reproduce standard RoPE bit-exactly). Layouts match
+        # models/decoder.py mrope_section_masks: chunked = contiguous runs,
+        # interleaved = j % n == s (Qwen3-Omni apply_interleaved_mrope).
         secs = cfg.mrope_section
+        n_sec = len(secs)
         j2 = jax.lax.broadcasted_iota(jnp.int32, (1, d2), 1)
-        cos = cos_hbm[pos + mrope_ref[len(secs) - 1]][None, :]
-        sin = sin_hbm[pos + mrope_ref[len(secs) - 1]][None, :]
-        bound = d2
-        for si in range(len(secs) - 2, -1, -1):
-            bound -= secs[si + 1]
+        cos = cos_hbm[pos + mrope_ref[0]][None, :]
+        sin = sin_hbm[pos + mrope_ref[0]][None, :]
+        for si in range(1, n_sec):
+            if cfg.mrope_interleaved:
+                m = jnp.logical_and(jax.lax.rem(j2, n_sec) == si,
+                                    j2 < n_sec * secs[si])
+            else:
+                m = j2 >= sum(secs[:si])   # later sections overwrite the tail
             c_row = cos_hbm[pos + mrope_ref[si]][None, :]
             s_row = sin_hbm[pos + mrope_ref[si]][None, :]
-            cos = jnp.where(j2 < bound, c_row, cos)
-            sin = jnp.where(j2 < bound, s_row, sin)
+            cos = jnp.where(m, c_row, cos)
+            sin = jnp.where(m, s_row, sin)
 
     def rope(t):
         t1, t2 = t[:, :d2], t[:, d2:]
@@ -471,7 +478,8 @@ def _gen_kernel(
     def _():
         nrm = rms(x, final_norm_ref[0])
         normed_ref[:] = nrm
-        logits = mm(nrm.astype(jnp.bfloat16), lm_head_ref[:])
+        logits = mm_scaled(nrm.astype(jnp.bfloat16), lm_head_ref[:],
+                           lms_ref[:])
         tok = jnp.argmax(logits, axis=1)[0].astype(jnp.int32)
         tokens_ref[0, n] = tok
         tok_ref[0] = tok
@@ -564,6 +572,9 @@ def _generate_impl(
         sqkv, so_s = ones(wqkv.shape[2]), ones(H)
         sgu, sd = ones(wgu.shape[2]), ones(H)
     embed0 = w.embed[first_token].astype(jnp.float32)[None, :]
+    lms = getattr(w, "lm_head_s", None)
+    if lms is None:
+        lms = jnp.ones((1, V), jnp.float32)
     if mrope_pos0 is None:
         md = jnp.zeros((3,), jnp.int32)
     else:
@@ -586,6 +597,7 @@ def _generate_impl(
         _layer_spec(sd.shape),
         _const_spec((1, H)),                       # final norm
         _const_spec((H, V)),                       # lm head
+        _const_spec((1, V)),                       # lm head scale
         pl.BlockSpec(memory_space=pl.ANY),         # embed table
         _const_spec((1, H)),                       # embed0
         _const_spec(w.rope.cos.shape),             # cos [S, D//2]
@@ -600,7 +612,7 @@ def _generate_impl(
         lw.q_norm[:, None, :], lw.k_norm[:, None, :],
         wo_m, lw.post_norm[:, None, :], wgu, wd,
         sqkv, so_s, sgu, sd,
-        w.final_norm[None, :], w.lm_head,
+        w.final_norm[None, :], w.lm_head, lms,
         w.embed, embed0, w.rope.cos, w.rope.sin,
         state.k_cache, state.v_cache,
     ]

@@ -66,6 +66,10 @@ def frame_step(
     top_k: int = 50,
     attn_impl: str = "dense",
     cp_step_w=None,               # optional quantized CP decoder for T=1 steps
+    mrope_deltas=None,            # [n_sections] int32 — M-RoPE per-section
+                                  # position offsets vs the cache position
+                                  # (zeros = the text-only Qwen3-TTS scheme,
+                                  # where all sections advance together)
 ) -> FrameResult:
     """One full frame (reference loop body: tts_engine.py:301-335)."""
     codes = cp_predict(
@@ -85,8 +89,12 @@ def frame_step(
     )
     next_input = embed_sum + text_embed
 
+    mrope_pos = None
+    if mrope_deltas is not None and talker_cfg.mrope_section is not None:
+        mrope_pos = state.position + mrope_deltas
     state, next_token, next_hidden = decode_step_with_embed(
-        talker_cfg, talker_w, state, next_input, attn_impl=attn_impl)
+        talker_cfg, talker_w, state, next_input, attn_impl=attn_impl,
+        mrope_pos=mrope_pos)
     return FrameResult(state=state, codes=codes,
                        next_token=next_token, next_hidden=next_hidden)
 
@@ -116,6 +124,7 @@ def frames_chunk(
     top_k: int = 50,
     attn_impl: str = "dense",
     cp_step_w=None,               # optional quantized CP decoder for T=1 steps
+    mrope_deltas=None,            # [n_sections] int32 (see frame_step)
 ):
     """`num_frames` frames in ONE dispatch — `lax.scan` over the frame body.
 
@@ -141,7 +150,8 @@ def frames_chunk(
             # streaming (1+10+10...) and non-streaming (10+10...) chunkings
             # produce byte-identical codec frames for the same seed.
             do_sample=do_sample, temperature=temperature, top_k=top_k,
-            attn_impl=attn_impl, cp_step_w=cp_step_w)
+            attn_impl=attn_impl, cp_step_w=cp_step_w,
+            mrope_deltas=mrope_deltas)
         still_alive = jnp.logical_and(alive, tok != CODEC_EOS)
         return ((r.state, r.next_token, r.next_hidden, still_alive),
                 (r.codes, still_alive))
@@ -159,14 +169,19 @@ def talker_prefill(
     state: DecodeState,
     embeds: jax.Array,            # [T, H]
     attn_impl: str = "dense",
+    mrope_deltas=None,            # [n_sections] int32 (see frame_step)
 ):
     """Batched prefill + the first decode step from CODEC_BOS fused into one
     dispatch (reference: tts_engine.py:281-289 does 8 sequential steps then a
     9th). Returns (state, first_token, first_hidden)."""
-    state, _ = forward_chunk(cfg, w, state, embeds)
+    mrope = mrope_deltas is not None and cfg.mrope_section is not None
+    mp = (state.position + mrope_deltas) if mrope else None
+    state, _ = forward_chunk(cfg, w, state, embeds, mrope_pos=mp)
     from ..core.config import CODEC_BOS
 
     bos_embed = w.embed[CODEC_BOS]
+    mp = (state.position + mrope_deltas) if mrope else None
     state, token, hidden = decode_step_with_embed(cfg, w, state, bos_embed,
-                                                  attn_impl=attn_impl)
+                                                  attn_impl=attn_impl,
+                                                  mrope_pos=mp)
     return state, token, hidden

@@ -7,8 +7,13 @@ then PCM16 `TTSAudioRawFrame` chunks at 24 kHz, then `TTSStoppedFrame`;
 deferred to a thread-pool executor so the pipeline loop never blocks on
 weight loading / compilation.
 
-`pipecat-ai` is an optional dependency: importing this module without it
-raises a clear error only when the service is actually constructed.
+`pipecat-ai` is an optional dependency. With it installed, the service
+subclasses the real `pipecat.services.tts_service.TTSService` and is a
+drop-in pipeline element. Without it, the service binds to the
+protocol-level stand-ins in `serving/_frames.py` — same constructor, same
+frame sequence — so the full `run_tts` contract stays exercised by tests
+(`tests/test_serving.py`) even though the live pipeline can't run here.
+Check `PIPECAT_AVAILABLE` to know which mode is active.
 """
 
 from __future__ import annotations
@@ -33,18 +38,21 @@ try:
     )
     from pipecat.services.tts_service import TTSService
 
-    _PIPECAT_AVAILABLE = True
+    PIPECAT_AVAILABLE = True
 except Exception:  # pragma: no cover - exercised only without pipecat
-    _PIPECAT_AVAILABLE = False
+    from ._frames import (  # noqa: F401 (re-exported protocol stand-ins)
+        ErrorFrame,
+        Frame,
+        TTSAudioRawFrame,
+        TTSService,
+        TTSStartedFrame,
+        TTSStoppedFrame,
+    )
 
-    class TTSService:  # type: ignore[no-redef]
-        """Stub base so the module imports without pipecat installed."""
+    PIPECAT_AVAILABLE = False
 
-        def __init__(self, **kwargs):
-            raise ImportError(
-                "pipecat-ai is required for TPUMegakernelTTSService; "
-                "install it or use qwen_tts_tpu.engine.TTSEngine directly."
-            )
+# Back-compat alias (pre-round-3 name)
+_PIPECAT_AVAILABLE = PIPECAT_AVAILABLE
 
 
 def float32_to_pcm16(audio: np.ndarray) -> bytes:
@@ -56,64 +64,61 @@ def float32_to_pcm16(audio: np.ndarray) -> bytes:
     return f32_to_pcm16(np.asarray(audio))
 
 
-if _PIPECAT_AVAILABLE:
+class TPUMegakernelTTSService(TTSService):
+    """Drop-in replacement for the reference MegakernelTTSService
+    (reference: pipecat_tts.py:33-132)."""
 
-    class TPUMegakernelTTSService(TTSService):
-        """Drop-in replacement for the reference MegakernelTTSService
-        (reference: pipecat_tts.py:33-132)."""
+    def __init__(
+        self,
+        *,
+        config: Optional[TTSConfig] = None,
+        sample_rate: int = 24000,
+        chunk_frames: int = 10,
+        model_config=None,        # TTSModelConfig override (tests/tuning)
+        **kwargs,
+    ):
+        super().__init__(sample_rate=sample_rate, **kwargs)
+        cfg = config or TTSConfig()
+        cfg.sample_rate = sample_rate
+        cfg.chunk_frames = chunk_frames
+        self._engine = TTSEngine(cfg, model_config=model_config)
+        self._engine_ready = False
 
-        def __init__(
-            self,
-            *,
-            config: Optional[TTSConfig] = None,
-            sample_rate: int = 24000,
-            chunk_frames: int = 10,
-            **kwargs,
-        ):
-            super().__init__(sample_rate=sample_rate, **kwargs)
-            cfg = config or TTSConfig()
-            cfg.sample_rate = sample_rate
-            cfg.chunk_frames = chunk_frames
-            self._engine = TTSEngine(cfg)
-            self._engine_ready = False
+    def can_generate_metrics(self) -> bool:
+        return True
 
-        def can_generate_metrics(self) -> bool:
-            return True
+    async def _ensure_engine(self):
+        if not self._engine_ready:
+            loop = asyncio.get_event_loop()
+            await loop.run_in_executor(None, self._engine.initialize)
+            self._engine_ready = True
 
-        async def _ensure_engine(self):
-            if not self._engine_ready:
-                loop = asyncio.get_event_loop()
-                await loop.run_in_executor(None, self._engine.initialize)
-                self._engine_ready = True
+    async def run_tts(self, text: str, context_id: Optional[str] = None
+                      ) -> AsyncGenerator[Frame, None]:
+        logger.debug(f"Generating TTS: [{text}]")
+        try:
+            await self.start_ttfb_metrics()
+            await self.start_tts_usage_metrics(text)
+            yield TTSStartedFrame()
 
-        async def run_tts(self, text: str, context_id: Optional[str] = None
-                          ) -> AsyncGenerator[Frame, None]:
-            logger.debug(f"Generating TTS: [{text}]")
-            try:
-                await self.start_ttfb_metrics()
-                await self.start_tts_usage_metrics(text)
-                yield TTSStartedFrame()
+            await self._ensure_engine()
+            first = True
+            async for audio, sr in self._engine.synthesize_streaming(text):
+                if first:
+                    await self.stop_ttfb_metrics()
+                    first = False
+                yield TTSAudioRawFrame(
+                    audio=float32_to_pcm16(audio),
+                    sample_rate=sr,
+                    num_channels=1,
+                )
+        except Exception as e:  # noqa: BLE001
+            logger.exception("TTS generation failed")
+            yield ErrorFrame(error=f"TTS error: {e}")
+        finally:
+            await self.stop_ttfb_metrics()
+            yield TTSStoppedFrame()
 
-                await self._ensure_engine()
-                first = True
-                async for audio, sr in self._engine.synthesize_streaming(text):
-                    if first:
-                        await self.stop_ttfb_metrics()
-                        first = False
-                    yield TTSAudioRawFrame(
-                        audio=float32_to_pcm16(audio),
-                        sample_rate=sr,
-                        num_channels=1,
-                    )
-            except Exception as e:  # noqa: BLE001
-                logger.exception("TTS generation failed")
-                yield ErrorFrame(error=f"TTS error: {e}")
-            finally:
-                await self.stop_ttfb_metrics()
-                yield TTSStoppedFrame()
 
-    # Reference-name alias
-    MegakernelTTSService = TPUMegakernelTTSService
-else:
-    TPUMegakernelTTSService = TTSService  # raises on construction
-    MegakernelTTSService = TTSService
+# Reference-name alias
+MegakernelTTSService = TPUMegakernelTTSService

@@ -78,6 +78,13 @@ def test_generate_continues_from_position(w):
     assert matches >= 5, f"oracle {oracle_tokens} vs kernel {got}"
 
 
+def _dequant_head(qw):
+    """The int8 LM head's bf16 reconstruction (for oracle weight sets)."""
+    if getattr(qw, "lm_head_s", None) is None:
+        return qw.lm_head
+    return (qw.lm_head.astype(jnp.float32) * qw.lm_head_s).astype(jnp.bfloat16)
+
+
 def test_generate_quantized_matches_dequantized_oracle(w):
     """int8 weight-only mode vs an oracle running on dequantized weights —
     near-exact agreement (the only numeric delta is scale-after-matmul vs
@@ -88,7 +95,8 @@ def test_generate_quantized_matches_dequantized_oracle(w):
     )
 
     qw = quantize_decoder_weights(w)
-    w_dq = w._replace(layers=dequantize_layer_weights(qw.layers))
+    w_dq = w._replace(layers=dequantize_layer_weights(qw.layers),
+                      lm_head=_dequant_head(qw))
 
     n = 10
     state_o = init_state(CFG)
@@ -136,7 +144,8 @@ def test_generate_int4_matches_dequantized_oracle(w):
     )
 
     qw = quantize_decoder_weights_int4(w)
-    w_dq = w._replace(layers=dequantize_layer_weights_int4(qw.layers))
+    w_dq = w._replace(layers=dequantize_layer_weights_int4(qw.layers),
+                      lm_head=_dequant_head(qw))
 
     n = 10
     state_o = init_state(CFG)

