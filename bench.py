@@ -210,10 +210,14 @@ def main():
                    help="engine weight quantization tier (serving path)")
     p.add_argument("--kv8", action="store_true",
                    help="engine int8 KV cache (serving path)")
-    p.add_argument("--budget", type=float, default=420.0,
+    p.add_argument("--budget", type=float, default=300.0,
                    help="soft wall-clock budget (s) for the full mode; "
                         "optional phases are skipped when the remaining "
-                        "budget can't cover their cost estimate")
+                        "budget can't cover their cost estimate. The "
+                        "default keeps a bare `python bench.py` to ~3 min "
+                        "(headline + RTT only) — the driver's timeout is "
+                        "unknown and round 2 was killed at rc=124; richer "
+                        "runs: --budget 900 or --mode engine")
     p.add_argument("--backend", default="megagen-int4-kv8",
                    choices=["megagen", "megagen-int8", "megagen-int4",
                             "megagen-int8-kv8", "megagen-int4-kv8",

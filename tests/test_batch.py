@@ -36,6 +36,7 @@ def _batch_inputs(w, B, T=12, N=3):
     return prefill, trailing, tlen, rngs, pad
 
 
+@pytest.mark.slow
 def test_batched_matches_sequential(w):
     """The vmapped batch must agree with per-utterance runs up to batched-
     matmul accumulation-order rounding (bit-identity is NOT expected —
@@ -73,6 +74,7 @@ def test_batched_matches_sequential(w):
         assert cos > 0.999, (b, cos)
 
 
+@pytest.mark.slow
 def test_batched_dp_sharded_matches_unsharded(w):
     """The frame path under a (4, 2) dp×tp mesh with dp-sharded inputs:
     deterministic run-to-run, first-frame codes agree with the unsharded
@@ -123,6 +125,7 @@ def test_batched_dp_sharded_matches_unsharded(w):
     assert np.isfinite(np.asarray(wavs)).all()
 
 
+@pytest.mark.slow
 def test_engine_synthesize_batch():
     from qwen_tts_tpu.engine.tts_engine import TTSConfig, TTSEngine
 

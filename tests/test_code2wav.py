@@ -90,6 +90,7 @@ def test_forward_parity(torch_model, jax_setup):
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_chunked_decode_parity(torch_model, jax_setup):
     cfg, w = jax_setup
     rng = np.random.default_rng(1)
@@ -105,6 +106,7 @@ def test_chunked_decode_parity(torch_model, jax_setup):
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_random_init_shapes_match_converter(torch_model, jax_setup):
     cfg, w_conv = jax_setup
     w_rand = init_code2wav_weights(jax.random.PRNGKey(0), cfg)
@@ -155,6 +157,7 @@ def test_load_code2wav_plain_torch_keys(tmp_path, torch_model, jax_setup):
     assert load_code2wav(str(path3), cfg) is None
 
 
+@pytest.mark.slow
 def test_output_bounded(jax_setup):
     cfg, _ = jax_setup
     w = init_code2wav_weights(jax.random.PRNGKey(3), cfg)

@@ -10,6 +10,7 @@ mirroring the reference's two-tier acceptance for bf16 argmax ties
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qwen_tts_tpu.models.code_predictor import cp_predict
 from qwen_tts_tpu.models.decoder import forward_chunk, init_state
@@ -37,6 +38,7 @@ def _naive_logits_forced(cfg, w, hidden, first_token, talker_embed, forced):
     return np.stack(all_logits)   # [15, 2048]
 
 
+@pytest.mark.slow
 def test_cp_predict_argmax_matches_naive(tiny_cfg, tiny_weights):
     cfg = tiny_cfg.code_predictor
     w = tiny_weights.code_predictor

@@ -81,6 +81,7 @@ def test_metrics(engine):
     assert m["position"] > 0
 
 
+@pytest.mark.slow
 def test_chunk_boundary_invariance(engine):
     """Streaming chunking (1+10+...) and non-streaming (10+...) must produce
     identical codec frames for the same seed — the per-frame rng is keyed on
@@ -122,6 +123,7 @@ def test_frames_chunk_eos_mask(tiny_cfg, tiny_weights):
     assert not np.asarray(valid).any()
 
 
+@pytest.mark.slow
 def test_quantize_dense_path(tiny_cfg):
     """quantize=True on the CPU dense backend runs the quant-aware
     dequant-on-the-fly paths end to end (round 3: quantization is no longer
@@ -138,6 +140,7 @@ def test_quantize_dense_path(tiny_cfg):
     assert len(wav) > 0
 
 
+@pytest.mark.slow
 def test_mrope_engine_bit_identical_to_standard(tiny_cfg):
     """Text-only M-RoPE (zero per-section deltas — the real Qwen3-TTS decode
     scheme) must produce BIT-identical codec frames to standard RoPE: the
@@ -159,6 +162,7 @@ def test_mrope_engine_bit_identical_to_standard(tiny_cfg):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_mrope_deltas_are_live(tiny_cfg):
     """Nonzero per-section deltas must CHANGE generation — proves the
     engine's M-RoPE plumbing reaches the attention math (not dead config)."""
@@ -231,6 +235,7 @@ def c2w_engine():
     return eng
 
 
+@pytest.mark.slow
 def test_code2wav_streaming_chunk_lengths(c2w_engine):
     """Streaming with the code2wav backend: first chunk = 1*hop (front-padded
     by the conv-trim deficit), every full chunk exactly chunk_frames*hop —
@@ -249,6 +254,7 @@ def test_code2wav_streaming_chunk_lengths(c2w_engine):
         assert len(c) == eng.config.chunk_frames * hop
 
 
+@pytest.mark.slow
 def test_code2wav_streaming_matches_manual_chunked(c2w_engine):
     """Each streamed chunk must equal a manual re-decode of
     [prev-chunk codes; this chunk's codes] sliced at ctx*hop - deficit —
@@ -291,6 +297,7 @@ def test_code2wav_streaming_matches_manual_chunked(c2w_engine):
         prev_frames = codes  # already clipped
 
 
+@pytest.mark.slow
 def test_code2wav_custom_chunk_stream_gapless(c2w_engine):
     """Non-default chunk_frames must still decode with left context (the
     fused fast path only covers the configured chunk size): each streamed
@@ -344,6 +351,7 @@ def test_code2wav_custom_chunk_stream_gapless(c2w_engine):
         prev = cl
 
 
+@pytest.mark.slow
 def test_code2wav_nonstreaming(c2w_engine):
     wav, sr = c2w_engine.synthesize("short code2wav test")
     hop = c2w_engine.vocoder_config.hop_length
@@ -351,6 +359,7 @@ def test_code2wav_nonstreaming(c2w_engine):
     assert np.abs(wav).max() <= 1.0
 
 
+@pytest.mark.slow
 def test_code2wav_quantizer_mismatch_raises():
     from qwen_tts_tpu.core.config import tiny_test_config
     from qwen_tts_tpu.vocoder.code2wav import Code2WavConfig

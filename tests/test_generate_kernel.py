@@ -56,6 +56,7 @@ def test_generate_matches_oracle(w):
     np.testing.assert_allclose(ka, kb, rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.slow
 def test_generate_continues_from_position(w):
     """Start generation from a warm cache (position > 0)."""
     state = init_state(CFG)
@@ -85,6 +86,7 @@ def _dequant_head(qw):
     return (qw.lm_head.astype(jnp.float32) * qw.lm_head_s).astype(jnp.bfloat16)
 
 
+@pytest.mark.slow
 def test_generate_quantized_matches_dequantized_oracle(w):
     """int8 weight-only mode vs an oracle running on dequantized weights —
     near-exact agreement (the only numeric delta is scale-after-matmul vs
@@ -134,6 +136,7 @@ def test_quantization_quality():
     assert rel < 0.01, rel
 
 
+@pytest.mark.slow
 def test_generate_int4_matches_dequantized_oracle(w):
     """int4 group-wise mode vs an oracle on dequantized weights — the kernel
     applies group scales to batched partial products, so the only numeric
@@ -212,6 +215,7 @@ def _gen_kv8_interpret(w, state, first_token, n, ring=16, chunk=32):
         interpret=True, ring_override=ring)
 
 
+@pytest.mark.slow
 def test_generate_kv8_matches_oracle(w):
     """int8 KV cache (per-row scales) vs the bf16 oracle: tokens near-equal
     (int8 rounding can flip argmax near-ties on random weights) and the
@@ -253,6 +257,7 @@ def test_generate_kv8_matches_oracle(w):
         assert rel < 0.02, rel
 
 
+@pytest.mark.slow
 def test_generate_kv8_flush_and_chunk_path(w):
     """With a small test ring (16) and chunk (32), 40 steps cross two ring
     flushes and read flushed chunks back through the scale-aware attention
@@ -278,6 +283,7 @@ def test_generate_kv8_flush_and_chunk_path(w):
     assert matches >= n - 6, f"{matches}/{n}: oracle {oracle_tokens} vs {got}"
 
 
+@pytest.mark.slow
 def test_generate_kv8_continues_from_position(w):
     """Resume from a warm int8 cache at a position inside a partial ring
     group — exercises the step-0 ring/scale init staging."""

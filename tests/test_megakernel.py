@@ -37,6 +37,7 @@ def _mega_step(w, state, embed):
                                              interpret=True)
 
 
+@pytest.mark.slow
 def test_megakernel_matches_oracle_sequence(w):
     """20 greedy steps: token match + cosine similarity vs oracle."""
     state_o = init_state(CFG)
@@ -78,6 +79,7 @@ def test_megakernel_position_advances(w):
     assert int(state.position) == 2
 
 
+@pytest.mark.slow
 def test_megakernel_kv8_matches_oracle(w):
     """int8 KV cache in the SINGLE-STEP kernel (the serving path) vs the
     dense kv8 oracle: both quantize new columns identically (absmax/127 per
@@ -111,6 +113,7 @@ def test_megakernel_kv8_matches_oracle(w):
         embed = hid_o
 
 
+@pytest.mark.slow
 def test_megakernel_kv8_close_to_bf16(w):
     """kv8 vs bf16 cache: int8 rounding perturbs attention by < ~1%."""
     state8 = init_state(CFG, jnp.int8)
@@ -142,6 +145,7 @@ def test_megakernel_int8_head_logits(w):
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_megakernel_int4_step(w):
     """Packed-int4 weights through the SINGLE-STEP kernel (serving path) vs
     a dense oracle on the dequantized weights."""

@@ -181,6 +181,7 @@ def test_interleaved_equal_reduces_to_standard(w):
     np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
 
 
+@pytest.mark.slow
 def test_generate_kernel_interleaved_matches_oracle(w):
     """N-step generate kernel, INTERLEAVED lane select vs the oracle."""
     from qwen_tts_tpu.ops import generate_kernel as gk
@@ -206,6 +207,7 @@ def test_generate_kernel_interleaved_matches_oracle(w):
     assert matches >= n - 1, f"oracle {oracle_tokens} vs kernel {got}"
 
 
+@pytest.mark.slow
 def test_generate_kernel_mrope_matches_oracle(w):
     """N-step generate kernel with M-RoPE deltas vs an oracle loop whose
     section positions advance in lockstep (interpret mode)."""

@@ -8,6 +8,7 @@ the TPU build replace the reference's 8 sequential prefill steps
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qwen_tts_tpu.models.decoder import (
     decode_step,
@@ -37,6 +38,7 @@ def test_step_shapes_and_position(tiny_cfg, tiny_weights):
     assert 0 <= int(token) < cfg.vocab_size
 
 
+@pytest.mark.slow
 def test_decode_deterministic(tiny_cfg, tiny_weights):
     cfg, w = tiny_cfg.talker, tiny_weights.talker
     outs = []

@@ -32,6 +32,7 @@ def test_module_imports_without_pipecat():
     assert svc.MegakernelTTSService is svc.TPUMegakernelTTSService
 
 
+@pytest.mark.slow
 def test_run_tts_frame_sequence():
     """The full reference frame protocol: Started → N×AudioRaw → Stopped,
     with TTFB metrics stopped exactly at the first audio chunk."""

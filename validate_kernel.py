@@ -161,11 +161,15 @@ def validate_cp_quant(args):
     step_q = jax.jit(functools.partial(forward_chunk, cfg, attn_impl="mega"))
 
     def forced_quant_logits(hidden, tok, codes):
-        """Per-group logits of the quantized step path with `codes` forced."""
+        """Per-group logits of the quantized step path with `codes` forced.
+
+        The 2-token prefill ALSO runs the quantized decoder (round 3: the
+        engine keeps one weight copy; the dense path dequantizes layer
+        slabs on the fly), so this is exactly the serving configuration."""
         state = init_state(cfg)
         first_embed = weights.talker.embed[tok].astype(jnp.float32)
         state, normed = prefill_d(
-            w.decoder, state, jnp.stack([hidden, first_embed]))
+            qdec, state, jnp.stack([hidden, first_embed]))
         last = normed[-1]
         out = []
         for g in range(15):
