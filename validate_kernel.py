@@ -60,74 +60,132 @@ def compare_case(name, cfg, w, steps, inputs, verbose=False):
     return rate, min(cosines)
 
 
+def _oracle_trajectory(cfg, w, steps):
+    """Greedy bf16-oracle decode from CODEC_BOS; returns the token
+    trajectory and per-step final hiddens. Computed ONCE and shared by
+    every quantized backend in this process (round 3: previously each
+    backend paid a fresh process including this compile+run, ~6-10 min)."""
+    from qwen_tts_tpu.core.config import CODEC_BOS
+    from qwen_tts_tpu.models import decoder as oracle
+    from qwen_tts_tpu.models.decoder import init_state
+
+    step_o = jax.jit(functools.partial(oracle.decode_step_with_embed, cfg))
+    so = init_state(cfg)
+    tok = jnp.int32(CODEC_BOS)
+    toks, hiddens = [], []
+    for _ in range(steps):
+        so, tok, ho = step_o(w, so, w.embed[tok])
+        toks.append(int(tok))
+        hiddens.append(np.asarray(ho))
+    return toks, hiddens
+
+
+def _quantized_pass(cfg, w, qw, kv8, toks, hiddens, step_q, name, verbose):
+    """Teacher-forced pass of one quantized backend against a recorded
+    oracle trajectory. Reports rate/cosine and returns the verdict tier
+    (0 = PASS, 1 = PASS tolerated, 2 = BELOW TIER)."""
+    from qwen_tts_tpu.core.config import CODEC_BOS
+    from qwen_tts_tpu.models.decoder import init_state
+
+    steps = len(toks)
+    kv_dtype = jnp.int8 if kv8 else jnp.bfloat16
+    sq = init_state(cfg, kv_dtype)
+    prev = CODEC_BOS
+    matches, cosines, max_diffs = 0, [], []
+    for i in range(steps):
+        e = w.embed[prev]
+        sq, tq, hq = step_q(qw, sq, e)
+        a, b = hiddens[i], np.asarray(hq)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+        cosines.append(cos)
+        max_diffs.append(float(np.abs(a - b).max()))
+        if toks[i] == int(tq):
+            matches += 1
+        elif verbose:
+            print(f"  step {i}: token mismatch oracle={toks[i]} quant={int(tq)}")
+        prev = toks[i]  # teacher-force the oracle trajectory
+
+    rate = matches / steps
+    cmin = min(cosines)
+    cmean = sum(cosines) / len(cosines)
+    print(f"[{name} coupled x{steps}] tokens {matches}/{steps} "
+          f"({rate:.1%})  cos min {cmin:.6f} mean {cmean:.6f}  "
+          f"max|Δh| {max(max_diffs):.4f}")
+    if rate == 1.0 and cmin > 0.99:
+        print("PASS: exact token match, cos > 0.99")
+        return 0
+    if cmin > 0.995:
+        print(f"PASS (tolerated): token rate {rate:.1%}, cos {cmin:.5f} — "
+              f"bf16 argmax ties, acceptable for TTS")
+        return 1
+    print(f"BELOW TIER (expected for weight quantization on random "
+          f"weights): token rate {rate:.1%}, cos min {cmin:.5f} — "
+          f"record in docs; not a kernel bug if cos mean is high")
+    return 2
+
+
 def validate_quantized(args):
-    """Coupled teacher-forced validation of a quantized decode mode.
+    """Coupled teacher-forced validation of quantized decode modes.
 
     The bf16 oracle decodes greedily from CODEC_BOS; its token trajectory
     teacher-forces the quantized megakernel, so each step compares the two
     models on an identical prefix (reference methodology:
-    validate_kernel.py:204-258, acceptance policy :413-435)."""
-    from qwen_tts_tpu.core.config import CODEC_BOS, DecoderConfig
+    validate_kernel.py:204-258, acceptance policy :413-435).
+
+    `--backend all-quant` runs every quantized config (int8, int8+kv8,
+    int4, int4+kv8) in THIS process, sharing the single oracle trajectory —
+    one oracle compile instead of four processes. Exit code in that mode:
+    1 only if an int8-tier config lands BELOW TIER (int4 below-tier on
+    random weights is the documented expectation and is recorded, not
+    failed)."""
+    from qwen_tts_tpu.core.config import DecoderConfig
     from qwen_tts_tpu.core.weights import (
         init_decoder_weights,
         quantize_decoder_weights,
         quantize_decoder_weights_int4,
     )
     from qwen_tts_tpu.models import decoder as oracle
-    from qwen_tts_tpu.models.decoder import init_state
 
     cfg = DecoderConfig(max_seq_len=args.max_seq)
     w = init_decoder_weights(jax.random.PRNGKey(args.seed), cfg)
-    qw = {
+    quantizers = {
         "megagen-int8": lambda: quantize_decoder_weights(w),
         "megagen-int8g": lambda: quantize_decoder_weights(w, group_size=args.group),
         "megagen-int4": lambda: quantize_decoder_weights_int4(
             w, group_size=args.group),
-    }[args.backend]()
+    }
 
-    step_o = jax.jit(functools.partial(oracle.decode_step_with_embed, cfg))
+    # one jit object: per-signature caching reuses the trace machinery, and
+    # identical (pytree, kv dtype) signatures across --kv8 variants hit the
+    # compile cache directly
     step_q = jax.jit(functools.partial(
         oracle.decode_step_with_embed, cfg, attn_impl="mega"))
+
+    toks, hiddens = _oracle_trajectory(cfg, w, args.steps)
 
     # --kv8: the quantized model ALSO runs the int8 KV cache — together with
     # the int8/int4 weights this is the exact engine serving configuration
     # (TTSConfig(quantize=..., kv_cache="int8")); its recorded rate/cosine is
     # the quality evidence the README results table quotes (VERDICT r2 #6)
-    kv_dtype = jnp.int8 if args.kv8 else jnp.bfloat16
-    so, sq = init_state(cfg), init_state(cfg, kv_dtype)
-    tok = jnp.int32(CODEC_BOS)
-    matches, cosines, max_diffs = 0, [], []
-    for i in range(args.steps):
-        e = w.embed[tok]
-        so, to, ho = step_o(w, so, e)
-        sq, tq, hq = step_q(qw, sq, e)
-        a, b = np.asarray(ho), np.asarray(hq)
-        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
-        cosines.append(cos)
-        max_diffs.append(float(np.abs(a - b).max()))
-        if int(to) == int(tq):
-            matches += 1
-        elif args.verbose:
-            print(f"  step {i}: token mismatch oracle={int(to)} quant={int(tq)}")
-        tok = to  # teacher-force the oracle trajectory into both models
-
-    rate = matches / args.steps
-    cmin = min(cosines)
-    cmean = sum(cosines) / len(cosines)
-    if args.kv8:
-        args.backend += "-kv8"
-    print(f"[{args.backend} coupled x{args.steps}] tokens {matches}/{args.steps} "
-          f"({rate:.1%})  cos min {cmin:.6f} mean {cmean:.6f}  "
-          f"max|Δh| {max(max_diffs):.4f}")
-    if rate == 1.0 and cmin > 0.99:
-        print("PASS: exact token match, cos > 0.99")
-    elif cmin > 0.995:
-        print(f"PASS (tolerated): token rate {rate:.1%}, cos {cmin:.5f} — "
-              f"bf16 argmax ties, acceptable for TTS")
+    if args.backend == "all-quant":
+        combos = [("megagen-int8", False), ("megagen-int8", True),
+                  ("megagen-int4", False), ("megagen-int4", True)]
     else:
-        print(f"BELOW TIER (expected for weight quantization on random "
-              f"weights): token rate {rate:.1%}, cos min {cmin:.5f} — "
-              f"record in docs; not a kernel bug if cos mean is high")
+        combos = [(args.backend, args.kv8)]
+
+    fail = False
+    cached_qw = {}
+    for backend, kv8 in combos:
+        if backend not in cached_qw:
+            cached_qw[backend] = quantizers[backend]()
+        name = backend + ("-kv8" if kv8 else "")
+        tier = _quantized_pass(cfg, w, cached_qw[backend], kv8, toks, hiddens,
+                               step_q, name, args.verbose)
+        if tier == 2 and not backend.endswith("int4"):
+            fail = True
+        elif tier == 2 and len(combos) == 1:
+            fail = True  # single-backend mode keeps strict exit semantics
+    if fail:
         sys.exit(1)
 
 
@@ -227,10 +285,12 @@ def main():
                         "with an int8 KV cache too (the serving config)")
     p.add_argument("--backend", default="mega",
                    choices=["mega", "megagen-int8", "megagen-int8g",
-                            "megagen-int4", "cp-int8"],
+                            "megagen-int4", "cp-int8", "all-quant"],
                    help="mega = bf16 kernel vs oracle (reference cases); "
                         "quantized backends run the coupled comparison; "
-                        "cp-int8 validates the quantized code-predictor path")
+                        "cp-int8 validates the quantized code-predictor path; "
+                        "all-quant runs int8/int4 × bf16-kv/int8-kv in ONE "
+                        "process sharing a single oracle trajectory")
     p.add_argument("--reference-only", action="store_true",
                    help="run only the oracle (no Pallas), as a smoke test")
     args = p.parse_args()
