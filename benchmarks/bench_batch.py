@@ -39,12 +39,29 @@ def main():
     ap.add_argument("--chunks", type=int, default=8,
                     help="timed chunk dispatches per batch size")
     ap.add_argument("--trailing", type=int, default=64)
+    ap.add_argument("--quantize", default="off",
+                    choices=["off", "int8", "int4"],
+                    help="serve quantized weights (the quant-aware dense "
+                         "path shares one weight read across the batch)")
     args = ap.parse_args()
 
     import dataclasses as dc
     mc = TTSModelConfig()
     mc = dc.replace(mc, talker=dc.replace(mc.talker, max_seq_len=args.max_seq))
     w = init_tts_weights(jax.random.PRNGKey(0), mc)
+    if args.quantize != "off":
+        from qwen_tts_tpu.core.weights import (
+            quantize_decoder_weights,
+            quantize_decoder_weights_int4,
+        )
+
+        qt = (quantize_decoder_weights_int4(w.talker)
+              if args.quantize == "int4"
+              else quantize_decoder_weights(w.talker))
+        qcp = quantize_decoder_weights(w.code_predictor.decoder,
+                                       quant_head=False)
+        w = w._replace(talker=qt,
+                       code_predictor=w.code_predictor._replace(decoder=qcp))
     H = mc.talker.hidden_size
     pad = jnp.zeros((H,), jnp.float32)
     frame_rate = mc.frame_rate_hz

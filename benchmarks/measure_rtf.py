@@ -24,11 +24,27 @@ def main():
     p.add_argument("--frames", type=int, default=50)
     p.add_argument("--max-seq", type=int, default=2048)
     p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--vocoder", default="fast", choices=["fast", "code2wav"])
+    p.add_argument("--vocoder-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="code2wav matrix dtype (default bf16, the TPU norm)")
+    p.add_argument("--code2wav-impl", default="packed",
+                   choices=["packed", "reference"])
+    p.add_argument("--quantize", default="off",
+                   choices=["off", "int8", "int4"])
+    p.add_argument("--kv-cache", default="bf16", choices=["bf16", "int8"])
+    p.add_argument("--cp-quantize", default="int8", choices=["int8", "int4"],
+                   help="code-predictor tier when --quantize is on")
     args = p.parse_args()
 
     from qwen_tts_tpu.engine.tts_engine import TTSConfig, TTSEngine
 
-    eng = TTSEngine(TTSConfig(max_seq_len=args.max_seq, max_new_tokens=args.frames))
+    eng = TTSEngine(TTSConfig(
+        max_seq_len=args.max_seq, max_new_tokens=args.frames,
+        vocoder_backend=args.vocoder, vocoder_dtype=args.vocoder_dtype,
+        code2wav_impl=args.code2wav_impl,
+        quantize=False if args.quantize == "off" else args.quantize,
+        kv_cache=args.kv_cache))
     eng.initialize()
 
     # Warm both public paths once (also compiles the utterance's trailing bucket)

@@ -91,6 +91,10 @@ class TTSConfig:
     # family as the reference's Qwen3TTSTokenizerV2 speech tokenizer.
     vocoder_backend: str = "fast"
     vocoder_dtype: str = "float32"        # code2wav only: float32 | bfloat16
+    # code2wav execution form: "packed" = matmul-form NHC fast path
+    # (vocoder/code2wav_fast.py, parity-tested; bf16 matrices unless
+    # vocoder_dtype=float32); "reference" = the torch-layout port.
+    code2wav_impl: str = "packed"
     code2wav_config: Optional[Code2WavConfig] = None  # override (tests/tuning)
     code2wav_window: int = 160            # non-streaming decode window (frames)
     code2wav_ctx: int = 25                # left-context frames (upstream: 25)
@@ -108,6 +112,11 @@ class TTSConfig:
     # Talker KV-cache dtype: "bf16" | "int8". int8 halves the position-
     # proportional cache read traffic (per-row f32 scales; docs/02).
     kv_cache: str = "bf16"
+    # Code-predictor weight tier when `quantize` is on. Default "int8"
+    # (5 layers, quality-sensitive lm heads); "int4" = group-128 int4
+    # decoder matrices for maximum bandwidth saving — quality evidence via
+    # `validate_kernel.py --backend cp-int4` before serving with it.
+    cp_quantize: str = "int8"
     # M-RoPE: the real Qwen3-TTS talker uses mrope_section [24, 20, 20]
     # in the Qwen3-Omni INTERLEAVED layout; the reference kernel only does
     # standard RoPE, which is why its EOS never fires and it caps frames by
@@ -233,8 +242,14 @@ class TTSEngine:
             qt = (quantize_decoder_weights_int4(self.weights.talker)
                   if qmode == "int4"
                   else quantize_decoder_weights(self.weights.talker))
-            qcp = quantize_decoder_weights(
-                self.weights.code_predictor.decoder, quant_head=False)
+            if cfg.cp_quantize not in ("int8", "int4"):
+                raise ValueError(
+                    f"unknown cp_quantize mode {cfg.cp_quantize!r}")
+            qcp = (quantize_decoder_weights_int4(
+                       self.weights.code_predictor.decoder, quant_head=False)
+                   if cfg.cp_quantize == "int4"
+                   else quantize_decoder_weights(
+                       self.weights.code_predictor.decoder, quant_head=False))
             self.weights = self.weights._replace(
                 talker=qt,
                 code_predictor=self.weights.code_predictor._replace(
@@ -404,15 +419,30 @@ class TTSEngine:
             self._vocoder_is_random = True
         else:
             self._vocoder_is_random = False
-        if self.vocoder_weights is not None and cfg.vocoder_dtype == "bfloat16":
-            self.vocoder_weights = jax.tree.map(
-                lambda x: x.astype(jnp.bfloat16), self.vocoder_weights)
+        use_packed = cfg.code2wav_impl == "packed"
+        if self.vocoder_weights is not None and use_packed:
+            from ..vocoder.code2wav_fast import (
+                code2wav_apply_packed,
+                pack_code2wav_weights,
+            )
+
+            pdt = (jnp.bfloat16 if cfg.vocoder_dtype == "bfloat16"
+                   else jnp.float32)
+            self.vocoder_weights = pack_code2wav_weights(
+                c2c, self.vocoder_weights, dtype=pdt)
+            apply_fn = code2wav_apply_packed
+        else:
+            if (self.vocoder_weights is not None
+                    and cfg.vocoder_dtype == "bfloat16"):
+                self.vocoder_weights = jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16), self.vocoder_weights)
+            apply_fn = code2wav_apply
         hop, deficit = c2c.hop_length, c2c.output_deficit
 
         def raw_decode(vw, codes):
             """codes [T,16] → [output_samples(T)] f32."""
             cl = jnp.clip(codes, 0, c2c.codebook_size - 1).astype(jnp.int32)
-            return code2wav_apply(c2c, vw, cl.T[None])[0].astype(jnp.float32)
+            return apply_fn(c2c, vw, cl.T[None])[0].astype(jnp.float32)
 
         def frames_decode(vw, codes, ctx=None):
             """codes [T,16] (+ left-context codes [C,16]) → EXACTLY [T*hop].

@@ -150,3 +150,34 @@ def test_engine_synthesize_batch():
 
     with pytest.raises(ValueError, match="divisible"):
         eng.synthesize_batch(["a", "b", "c"], mesh=mesh)
+
+
+@pytest.mark.slow
+def test_engine_synthesize_batch_quantized():
+    """Batched serving composes with the quantized serving path: the
+    vmapped dense path dequantizes layer slabs on the fly (the same
+    quant-aware forward_chunk the single-stream prefill uses), so int8
+    and int4 engines serve B>1 with one weight copy."""
+    from qwen_tts_tpu.engine.tts_engine import TTSConfig, TTSEngine
+
+    texts = ["hello quantized batch", "a second, rather longer utterance"]
+    for qmode in ("int8", "int4"):
+        eng = TTSEngine(TTSConfig(max_seq_len=256, chunk_frames=4, seed=0,
+                                  backend="dense", quantize=qmode),
+                        model_config=tiny_test_config(max_seq_len=256))
+        eng.initialize()
+        # exactly one (quantized) talker copy is resident
+        assert hasattr(eng.weights.talker.layers, "wqkv_q")
+        results = eng.synthesize_batch(texts)
+        assert len(results) == len(texts)
+        hop = eng.vocoder_config.hop_length
+        for wav, sr in results:
+            assert sr == eng.sample_rate
+            assert len(wav) > 0 and len(wav) % hop == 0
+            assert np.isfinite(wav).all()
+
+    # dp mesh x quantized weights (weights replicated, batch dp-sharded)
+    mesh = make_mesh(dp=4, tp=2)
+    four = texts + ["third text", "fourth text"]
+    results_m = eng.synthesize_batch(four, mesh=mesh)
+    assert len(results_m) == len(four)

@@ -157,6 +157,58 @@ def test_load_code2wav_plain_torch_keys(tmp_path, torch_model, jax_setup):
     assert load_code2wav(str(path3), cfg) is None
 
 
+def test_packed_parity_vs_torch(torch_model, jax_setup):
+    """The packed (matmul-form, NHC) forward must match the torch oracle
+    when packed at float32 — structural parity of the phase-matmul
+    transposed convs and unfold-matmul causal convs
+    (vocoder/code2wav_fast.py)."""
+    from qwen_tts_tpu.vocoder.code2wav_fast import (
+        code2wav_apply_packed,
+        pack_code2wav_weights,
+    )
+
+    cfg, w = jax_setup
+    rng = np.random.default_rng(2)
+    codes = rng.integers(0, cfg.codebook_size, size=(2, cfg.num_quantizers, 13))
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(codes)).numpy()[:, 0, :]
+    pw = pack_code2wav_weights(cfg, w, dtype=jnp.float32)
+    out = np.asarray(code2wav_apply_packed(cfg, pw, jnp.asarray(codes, jnp.int32)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_packed_bf16_matches_reference_bf16_envelope(jax_setup):
+    """bf16 packing (the production path) must introduce no error class
+    beyond what the already-shipped bf16 reference path has: both compared
+    to the f32 reference, cosines agree closely."""
+    from qwen_tts_tpu.vocoder.code2wav_fast import (
+        code2wav_apply_packed,
+        pack_code2wav_weights,
+    )
+
+    cfg, w = jax_setup
+    rng = np.random.default_rng(3)
+    codes = jnp.asarray(
+        rng.integers(0, cfg.codebook_size, size=(1, cfg.num_quantizers, 9)),
+        jnp.int32)
+    ref = np.asarray(code2wav_apply(cfg, w, codes)).ravel()
+    wbf = jax.tree.map(lambda x: x.astype(jnp.bfloat16), w)
+    ref_bf = np.asarray(code2wav_apply(cfg, wbf, codes)).astype(np.float32).ravel()
+    pw = pack_code2wav_weights(cfg, w)     # bf16 default
+    got = np.asarray(code2wav_apply_packed(cfg, pw, codes)).ravel()
+
+    def cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+
+    assert got.shape == ref.shape
+    c_ref_bf = cos(ref, ref_bf)
+    c_packed = cos(ref, got)
+    assert c_packed > 0.99
+    # packed bf16 at least as close to f32 truth as reference bf16 (small slack)
+    assert c_packed >= c_ref_bf - 0.005
+
+
 @pytest.mark.slow
 def test_output_bounded(jax_setup):
     cfg, _ = jax_setup

@@ -141,6 +141,25 @@ def test_quantize_dense_path(tiny_cfg):
 
 
 @pytest.mark.slow
+def test_cp_int4_dense_path(tiny_cfg):
+    """cp_quantize="int4": the code predictor serves from group-wise int4
+    decoder matrices through the same quant-aware dense path (quality
+    evidence recorded via validate_kernel --backend cp-int4)."""
+    from qwen_tts_tpu.engine.tts_engine import TTSConfig, TTSEngine
+
+    eng = TTSEngine(TTSConfig(max_seq_len=128, chunk_frames=4,
+                              quantize="int4", cp_quantize="int4"),
+                    model_config=tiny_cfg)
+    eng.initialize()
+    cp_layers = eng.weights.code_predictor.decoder.layers
+    assert hasattr(cp_layers, "wqkv_q")
+    # int4 marker: packed nibbles halve the stored in-dim
+    assert cp_layers.wqkv_q.shape[1] * 2 == eng.model_config.code_predictor.hidden_size
+    wav, sr = eng.synthesize("cp int4 knob check")
+    assert len(wav) > 0
+
+
+@pytest.mark.slow
 def test_mrope_engine_bit_identical_to_standard(tiny_cfg):
     """Text-only M-RoPE (zero per-section deltas — the real Qwen3-TTS decode
     scheme) must produce BIT-identical codec frames to standard RoPE: the
@@ -262,7 +281,11 @@ def test_code2wav_streaming_matches_manual_chunked(c2w_engine):
     documented chunked-decode semantics."""
     import jax
     import jax.numpy as jnp
-    from qwen_tts_tpu.vocoder.code2wav import code2wav_apply
+    # the engine's default code2wav_impl is "packed" — the manual
+    # re-decode must use the same (parity-tested) packed apply
+    from qwen_tts_tpu.vocoder.code2wav_fast import (
+        code2wav_apply_packed as code2wav_apply,
+    )
 
     eng = c2w_engine
     c2c = eng.vocoder_config
@@ -304,7 +327,11 @@ def test_code2wav_custom_chunk_stream_gapless(c2w_engine):
     chunk equals the manual [prev; cur] decode sliced at ctx*hop - deficit."""
     import jax
     import jax.numpy as jnp
-    from qwen_tts_tpu.vocoder.code2wav import code2wav_apply
+    # the engine's default code2wav_impl is "packed" — the manual
+    # re-decode must use the same (parity-tested) packed apply
+    from qwen_tts_tpu.vocoder.code2wav_fast import (
+        code2wav_apply_packed as code2wav_apply,
+    )
 
     eng = c2w_engine
     c2c = eng.vocoder_config

@@ -211,7 +211,12 @@ def validate_cp_quant(args):
     weights = init_tts_weights(jax.random.PRNGKey(args.seed), mc)
     w = weights.code_predictor
     cfg = mc.code_predictor
-    qdec = quantize_decoder_weights(w.decoder)
+    if args.backend == "cp-int4":
+        from qwen_tts_tpu.core.weights import quantize_decoder_weights_int4
+
+        qdec = quantize_decoder_weights_int4(w.decoder, group_size=args.group)
+    else:
+        qdec = quantize_decoder_weights(w.decoder)
 
     pred_b = jax.jit(functools.partial(
         cp_predict, cfg, do_sample=False, return_logits=True))
@@ -260,7 +265,7 @@ def validate_cp_quant(args):
 
     rate = match / total
     cmin, cmean = min(cosines), sum(cosines) / len(cosines)
-    print(f"[cp-int8 forced x{frames} frames] codes {match}/{total} "
+    print(f"[{args.backend} forced x{frames} frames] codes {match}/{total} "
           f"({rate:.1%})  logits cos min {cmin:.6f} mean {cmean:.6f}")
     if rate == 1.0 and cmin > 0.99:
         print("PASS: exact code match, cos > 0.99")
@@ -285,7 +290,7 @@ def main():
                         "with an int8 KV cache too (the serving config)")
     p.add_argument("--backend", default="mega",
                    choices=["mega", "megagen-int8", "megagen-int8g",
-                            "megagen-int4", "cp-int8", "all-quant"],
+                            "megagen-int4", "cp-int8", "cp-int4", "all-quant"],
                    help="mega = bf16 kernel vs oracle (reference cases); "
                         "quantized backends run the coupled comparison; "
                         "cp-int8 validates the quantized code-predictor path; "
@@ -295,7 +300,7 @@ def main():
                    help="run only the oracle (no Pallas), as a smoke test")
     args = p.parse_args()
 
-    if args.backend == "cp-int8" and not args.reference_only:
+    if args.backend in ("cp-int8", "cp-int4") and not args.reference_only:
         if args.steps < 128:
             args.steps = 128     # quantized acceptance needs >=128 comparisons
         validate_cp_quant(args)
