@@ -44,7 +44,7 @@ def main():
         vocoder_backend=args.vocoder, vocoder_dtype=args.vocoder_dtype,
         code2wav_impl=args.code2wav_impl,
         quantize=False if args.quantize == "off" else args.quantize,
-        kv_cache=args.kv_cache))
+        kv_cache=args.kv_cache, cp_quantize=args.cp_quantize))
     eng.initialize()
 
     # Warm both public paths once (also compiles the utterance's trailing bucket)
