@@ -54,8 +54,11 @@ def main():
     eng = TTSEngine(TTSConfig(max_seq_len=args.max_seq))
     eng.initialize()
 
+    from qwen_tts_tpu.utils.timing import drain_device
+
     ok = True
     for name, text in TEXTS.items():
+        drain_device()  # fence any speculative chunk from the previous text
         ttfc, gaps, samples, wall = asyncio.run(run_one(eng, text))
         dur = samples / eng.sample_rate
         rtf = wall / dur if dur else float("inf")

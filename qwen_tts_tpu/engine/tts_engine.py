@@ -98,7 +98,14 @@ class TTSConfig:
     code2wav_config: Optional[Code2WavConfig] = None  # override (tests/tuning)
     code2wav_window: int = 160            # non-streaming decode window (frames)
     code2wav_ctx: int = 25                # left-context frames (upstream: 25)
-    trailing_bucket: int = 64
+    # Text-capacity bucket: prompt ids / trailing embeds are padded to a
+    # multiple of this, and the jit signatures include that padded shape.
+    # One big bucket (384 tokens ≈ 45 s of speech) means every realistic
+    # text shares the SAME warm signature — small geometric buckets (the
+    # old 64 default) left longer texts compiling first_fn + the chunk fn
+    # mid-request (observed 12 s TTFC on a 347-token text). Texts beyond
+    # one bucket still work; they pay a one-time compile per new multiple.
+    trailing_bucket: int = 384
     backend: str = "auto"                 # auto | dense | pallas | mega
     fused_chunks: bool = True             # one dispatch per audio chunk
     # Weight-only quantization for the WHOLE serving path — decode steps,
@@ -526,17 +533,23 @@ class TTSEngine:
             attn_impl=self._attn_impl, mrope_deltas=self._mrope_deltas)
         trailing = jnp.zeros((cfg.trailing_bucket, h), dtype=jnp.bfloat16)
         do_sample = cfg.subtalker_do_sample
+        # warm the host-side RNG helpers (jit(_threefry_split)/jit(_unstack))
+        # that every streaming call runs before its first dispatch — left
+        # cold, they compile inside the first request's TTFC (~1 s via the
+        # compile relay)
+        _wk1, _wk2 = jax.random.split(jax.random.PRNGKey(0))  # unpack → _unstack
         if self._fused_chunks:
-            # warm the fused cold path AND the per-chunk signature sequence
-            # for the first two trailing buckets (the chunk fn's signature
-            # includes the trailing SHAPE, so warming only one bucket left
-            # the other compiling mid-stream on first use; longer texts
-            # compile their bucket on first use). For code2wav the ctx
-            # shape grows [1,16] then [chunk,16], so warm both ctx shapes.
+            # warm the fused cold path AND the per-chunk signature sequence.
+            # The chunk fn's signature includes the trailing SHAPE; with one
+            # big text bucket (trailing_bucket default 384) every realistic
+            # text shares this single warmed signature, so only mult=1 needs
+            # warming (texts beyond one bucket pay a one-time compile). For
+            # code2wav the ctx shape grows [1,16] then [chunk,16], so warm
+            # both ctx shapes.
             warm_ns = (1, cfg.chunk_frames)
             if self._voc_kind == "code2wav":
                 warm_ns = (1, cfg.chunk_frames, cfg.chunk_frames)
-            for mult in (1, 2):
+            for mult in (1,):
                 dummy_ids = jnp.zeros((cfg.trailing_bucket * mult,),
                                       dtype=jnp.int32)
                 state, codes, valid, token, hidden, audio, trailing, t_len = \

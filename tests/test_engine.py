@@ -400,3 +400,48 @@ def test_code2wav_quantizer_mismatch_raises():
                     model_config=tiny_test_config(max_seq_len=64))
     with pytest.raises(ValueError, match="num_quantizers"):
         eng.initialize()
+
+
+@pytest.mark.slow
+def test_closed_signature_set_across_text_lengths(engine):
+    """The engine's jit-signature set is CLOSED after initialize():
+    streaming texts of any length within one trailing bucket triggers ZERO
+    new XLA compilations. Round-3 regression this guards: 64-token
+    geometric buckets left a 347-token text compiling first_fn + the chunk
+    fn mid-request (12 s observed TTFC), and the never-warmed
+    jit(_threefry_split)/jit(_unstack) helpers compiled inside the first
+    request of the process."""
+    import logging
+
+    import jax
+
+    from qwen_tts_tpu.engine.tokenizer import encode_tts_prompt
+
+    texts = ["Hi!",
+             "The quick brown fox jumps over the lazy dog.",
+             " ".join(["abcdefghijklmnopqrstuvwxy"] * 12)]  # ~310 tokens
+    bucket = engine.config.trailing_bucket
+    for t in texts:  # all three must land in the first (warmed) bucket
+        assert len(encode_tts_prompt(engine.tokenizer, t)) <= bucket + 8
+
+    async def consume(text):
+        async for _audio, _sr in engine.synthesize_streaming(text):
+            pass
+
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda r: records.append(r.getMessage())
+    logger = logging.getLogger("jax._src.interpreters.pxla")
+    old_level = logger.level
+    logger.addHandler(handler)
+    logger.setLevel(logging.WARNING)
+    jax.config.update("jax_log_compiles", True)
+    try:
+        for t in texts:
+            asyncio.run(consume(t))
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        logger.removeHandler(handler)
+        logger.setLevel(old_level)
+    compiles = [m for m in records if "Compiling" in m]
+    assert not compiles, f"engine compiled mid-request: {compiles[:3]}"
