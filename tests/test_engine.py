@@ -445,3 +445,31 @@ def test_closed_signature_set_across_text_lengths(engine):
         logger.setLevel(old_level)
     compiles = [m for m in records if "Compiling" in m]
     assert not compiles, f"engine compiled mid-request: {compiles[:3]}"
+
+
+@pytest.mark.slow
+def test_text_beyond_one_bucket_still_streams(engine):
+    """Texts longer than one trailing bucket (384 tokens) bucket UP and pay
+    a one-time compile, but must still stream correctly end-to-end (the
+    fallback path the fixed-bucket warmup deliberately leaves cold)."""
+    bucket = engine.config.trailing_bucket
+    # few words (small frame cap, fits max_seq=256) but > bucket TOKENS
+    # under the byte-level fallback tokenizer (1 token per char)
+    word = "abcdefghijklmnopqrstuvwxyzabcdefghijklmnopqrstuvwxyz"  # 52 chars
+    text = " ".join([word] * 9)                                    # ~477 tokens
+
+    from qwen_tts_tpu.engine.tokenizer import encode_tts_prompt
+    n_ids = len(encode_tts_prompt(engine.tokenizer, text))
+    assert n_ids > bucket, n_ids
+
+    async def consume():
+        chunks = []
+        async for audio, _sr in engine.synthesize_streaming(text):
+            chunks.append(audio)
+        return chunks
+
+    chunks = asyncio.run(consume())
+    hop = engine.vocoder_config.hop_length
+    assert len(chunks) >= 2
+    assert len(chunks[0]) == 1 * hop       # first-chunk-at-1-frame holds
+    assert all(np.isfinite(c).all() for c in chunks)
