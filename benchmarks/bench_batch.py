@@ -43,6 +43,10 @@ def main():
                     choices=["off", "int8", "int4"],
                     help="serve quantized weights (the quant-aware dense "
                          "path shares one weight read across the batch)")
+    ap.add_argument("--kv-cache", default="bf16", choices=["bf16", "int8"],
+                    help="per-utterance KV cache dtype (int8 halves the "
+                         "position-proportional cache reads, which scale "
+                         "with B)")
     args = ap.parse_args()
 
     import dataclasses as dc
@@ -73,7 +77,9 @@ def main():
         tlen = jnp.full((B,), args.trailing, jnp.int32)
         rngs = jax.random.split(jax.random.PRNGKey(1), B)
 
-        state, tok, hid = batched_prefill(mc.talker, w.talker, prefill)
+        kv_dtype = jnp.int8 if args.kv_cache == "int8" else jnp.bfloat16
+        state, tok, hid = batched_prefill(mc.talker, w.talker, prefill,
+                                          kv_dtype=kv_dtype)
         idx0 = jnp.zeros((B,), jnp.int32)
         # warm (compile) one chunk
         state, codes, valid, tok, hid = batched_frames(

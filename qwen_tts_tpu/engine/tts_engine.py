@@ -760,7 +760,8 @@ class TTSEngine:
             rngs = jax.device_put(rngs, dpR(1))
 
         state, tok, hid = batched_prefill(
-            mc.talker, self.weights.talker, prefill_embeds, attn_impl="dense")
+            mc.talker, self.weights.talker, prefill_embeds, attn_impl="dense",
+            kv_dtype=self._kv_dtype)
         state, codes, valid, tok, hid = batched_frames(
             mc.talker, mc.code_predictor,
             self.weights.talker, self.weights.code_predictor,

@@ -24,12 +24,13 @@ from ..models.decoder import init_state
 from .frame_loop import frames_chunk, talker_prefill
 
 
-@partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+@partial(jax.jit, static_argnames=("cfg", "attn_impl", "kv_dtype"))
 def batched_prefill(
     cfg: DecoderConfig,
     w: DecoderWeights,
     prefill_embeds: jax.Array,     # [B, 8, H]
     attn_impl: str = "dense",
+    kv_dtype=jnp.bfloat16,         # jnp.int8 → per-row-scaled int8 KV cache
 ):
     """Fresh-state prefill + first CODEC_BOS decode for B utterances.
 
@@ -37,7 +38,7 @@ def batched_prefill(
     B = prefill_embeds.shape[0]
 
     def one(embeds):
-        return talker_prefill(cfg, w, init_state(cfg), embeds,
+        return talker_prefill(cfg, w, init_state(cfg, kv_dtype), embeds,
                               attn_impl=attn_impl)
 
     return jax.vmap(one)(prefill_embeds)
