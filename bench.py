@@ -6,10 +6,14 @@ under a `timeout` and parses the LAST JSON line printed. Round 2's default
 front-loaded a multi-minute engine compile and was killed before one metric
 line landed (BENCH_r02.json rc=124). So the default mode now:
 
+  0. probes the device in a SUBPROCESS with bounded retries (≤ budget/3),
+     emitting a `tunnel_down` JSON line per failed attempt — a tunnel
+     outage (round 3, BENCH_r03.json rc=1) leaves evidence, not a crash,
   1. emits `tunnel_rtt_ms` immediately (host↔device weather — TTFC numbers
      are uninterpretable without it),
-  2. runs the FASTEST tok/s config first and emits its line (valid headline
-     on disk within one kernel compile, ~2 min),
+  2. runs the best QUALITY-GATE-PASSING tok/s config first (int8+kv8) and
+     emits its line (valid headline on disk within one kernel compile,
+     ~2 min); int4+kv8 follows as the explicit throughput-mode row,
   3. spends whatever remains of `--budget` on richer metrics (second tok/s
      backend, engine TTFC/RTF), each emitted when measured,
   4. re-emits the best tok/s line LAST so the driver's parsed headline is
@@ -68,6 +72,42 @@ def measure_rtt() -> float:
         np.asarray(f(jnp.asarray(np.zeros((8, 128), np.float32))))
         times.append(time.perf_counter() - t0)
     return float(np.median(times) * 1000.0)
+
+
+def device_up_or_retry(budget: float) -> float | None:
+    """First device touch, hardened against a tunnel outage.
+
+    Round 3 died on the first `jax.devices()` touch (BENCH_r03.json rc=1,
+    zero metric lines) when the TPU tunnel went down — indistinguishable
+    from a broken bench. This bounds retries to ~1/3 of --budget, emits a
+    `tunnel_down` diagnostic JSON line per failed attempt, and returns the
+    measured RTT (ms) on success or None when the cap is exhausted. Each
+    probe runs in a SUBPROCESS: a dead tunnel can hang a device touch for
+    >10 min (observed during the 2026-08-17 outage), so an in-process call
+    could blow the whole budget on attempt 1.
+    """
+    import subprocess
+
+    cap = max(60.0, budget / 3.0)
+    attempt = 0
+    while True:
+        attempt += 1
+        probe_timeout = min(120.0, max(30.0, cap - elapsed()))
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp, numpy as np;"
+                 "np.asarray(jnp.zeros((8,128))+1.0);print('UP')"],
+                capture_output=True, text=True, timeout=probe_timeout)
+            ok = r.returncode == 0 and "UP" in r.stdout
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            return measure_rtt()   # in-process: tunnel is live now
+        emit("tunnel_down", float(attempt), "attempts", 0.0)
+        if elapsed() + 30.0 > cap:
+            return None
+        time.sleep(min(30.0, cap - elapsed()))
 
 
 _SUFFIX = {"megagen-int8": "_int8_weights",
@@ -218,10 +258,15 @@ def main():
                         "(headline + RTT only) — the driver's timeout is "
                         "unknown and round 2 was killed at rc=124; richer "
                         "runs: --budget 900 or --mode engine")
-    p.add_argument("--backend", default="megagen-int4-kv8",
+    p.add_argument("--backend", default="megagen-int8-kv8",
                    choices=["megagen", "megagen-int8", "megagen-int4",
                             "megagen-int8-kv8", "megagen-int4-kv8",
-                            "mega", "pallas", "dense"])
+                            "mega", "pallas", "dense"],
+                   help="headline backend. Default is the best config that "
+                        "PASSES the validate_kernel quality gate (int8+kv8: "
+                        "96.9%% token match / cos 0.9990); int4-kv8 is "
+                        "faster but below tier on gaussian random weights "
+                        "and is emitted as the throughput-mode row instead")
     args = p.parse_args()
 
     if args.mode == "tok":
@@ -232,27 +277,38 @@ def main():
         return
 
     # ── full mode: cheap-but-valid first, richer after, headline LAST ──
-    emit("tunnel_rtt_ms", measure_rtt(), "ms", 1.0)
+    rtt = device_up_or_retry(args.budget)
+    if rtt is None:              # outage: leave evidence, not an rc=1
+        emit("tunnel_down", -1.0, "attempts", 0.0)
+        return
+    emit("tunnel_rtt_ms", rtt, "ms", 1.0)
 
     headline = None
+    ran = set()
     for backend in (args.backend, "megagen-int8"):
+        if backend in ran:
+            continue
         try:
             headline = bench_tok_s(args, backend)
+            ran.add(backend)
             break
         except Exception as e:   # fall back rather than die headline-less
+            ran.add(backend)
             print(f"tok bench {backend} failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
     phase1 = elapsed()           # ≈ compile + runs of one backend
 
-    # a second backend costs roughly another compile+runs of the same shape
-    if headline is not None and elapsed() + phase1 < args.budget:
+    # throughput-mode row: int4+kv8 is the fastest config but fails the
+    # random-weights quality gate (65.6%/cos .825 — see README quality
+    # table), so it is reported as its own metric, never as the headline
+    if (headline is not None and "megagen-int4-kv8" not in ran
+            and elapsed() + phase1 < args.budget):
         try:
-            m, v = bench_tok_s(args, "megagen-int8")
-            if v > headline[1]:
-                headline = (m, v)
+            bench_tok_s(args, "megagen-int4-kv8")
+            ran.add("megagen-int4-kv8")
         except Exception as e:
-            print(f"tok bench megagen-int8 failed: {type(e).__name__}: {e}",
-                  file=sys.stderr, flush=True)
+            print(f"tok bench megagen-int4-kv8 failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
 
     # engine init compiles the fused cold/chunk paths (~3-4 min cold)
     if elapsed() + 240.0 < args.budget:
