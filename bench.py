@@ -209,11 +209,19 @@ def bench_engine(args):
     # device queue between runs — an aclose()d stream leaves a speculative
     # chunk in flight that would otherwise delay the next run's dispatch
     asyncio.run(ttfc_once(short))
+    rtt_at_ttfc = measure_rtt()
     best_ttfc = float("inf")
     for _ in range(args.runs):
         drain_device()
         best_ttfc = min(best_ttfc, asyncio.run(ttfc_once(short)))
     emit("ttfc_ms", best_ttfc * 1000, "ms", 81.6 / (best_ttfc * 1000))
+    # the tunnel-independent number: ~1×RTT of the TTFC is serial tunnel
+    # time (the text upload overlaps the async dispatch enqueue; the first
+    # audio readback is the serial round trip); subtracting isolates
+    # on-device latency so TTFC is comparable across tunnel weather
+    kernel_ttfc = max(best_ttfc * 1000 - rtt_at_ttfc, 0.0)
+    emit("ttfc_kernel_ms", kernel_ttfc, "ms",
+         81.6 / kernel_ttfc if kernel_ttfc > 0 else 0.0)
 
     eng.synthesize(longer)  # warm
     best_ns, best_samples = float("inf"), 0

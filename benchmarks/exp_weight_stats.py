@@ -1,0 +1,213 @@
+#!/usr/bin/env python3
+"""Does int4-g128 really quantize better on realistic weight statistics?
+
+The quality gates run on gaussian random weights, where int4+kv8 sits far
+below tier (65.6% token match — README ‡). The README's standing hypothesis
+is that *real* checkpoints quantize better. No real checkpoint can be loaded
+here (zero egress), so this experiment tests the hypothesis the honest way
+(VERDICT r3 #3): build synthetic weights with progressively more realistic
+per-channel statistics, run the exact teacher-forced token gate on each, and
+separately quantify the MECHANISM — token flips happen when the quantization
+logit perturbation exceeds the bf16 argmax margin, so the margin distribution
+(a property of training, not of the kernel) is measured against the
+perturbation distribution (a property of the quantizer), and the agreement
+is swept against a margin multiplier to record where the tier boundary sits.
+
+Distributions (per-matrix transforms of the gaussian baseline, all rescaled
+to the same RMS so the residual-stream dynamics stay comparable):
+  gaussian      iid N(0, 1/fan_in) — the gates' worst case
+  student-t4    heavy tails (df=4): rare large weights inside each g=128
+                group inflate that group's scale → MORE int4 error
+  chan-sigma    per-output-channel lognormal σ (σ_log=0.6) — real
+                transformer layers have 10-100× channel-to-channel σ spread
+  outlier-rows  1% of input rows ×8 — the LLM.int8()-style outlier channels;
+                group-wise (g=128, input dim) scales isolate them per group
+  realistic     student-t4 × chan-sigma × outlier-rows composed
+
+Method per distribution: bf16 oracle decodes greedily (free) for --steps;
+the quantized model is teacher-forced on that trajectory (the gate coupling,
+validate_kernel.py); both models' LOGITS are recorded per step.
+Reported per (dist, backend): token agreement, logits cosine, margin stats,
+and agreement(m) for margin multipliers m ∈ {1,2,4,8,16} — agreement if the
+bf16 margins were m× larger at the same perturbation, i.e. where the gate
+would sit on a confidently-trained model.
+
+Run on TPU (full-size model). ~128 steps × 6 model passes.
+"""
+
+import argparse
+import functools
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ── distribution transforms ──────────────────────────────────────────────
+
+def _t4(key, shape):
+    """Student-t (df=4) scaled to unit variance."""
+    df = 4.0
+    kz, kg = jax.random.split(key)
+    z = jax.random.normal(kz, shape, jnp.float32)
+    g = 2.0 * jax.random.gamma(kg, df / 2.0, shape, jnp.float32)  # chi2(df)
+    t = z / jnp.sqrt(g / df)
+    return t / np.sqrt(df / (df - 2.0))     # unit variance
+
+def _chan_sigma(key, w, sigma_log=0.6):
+    """Per-output-channel lognormal scale (last axis), RMS-preserving."""
+    s = jnp.exp(sigma_log * jax.random.normal(
+        key, w.shape[-1:], jnp.float32))
+    s = s / jnp.sqrt(jnp.mean(s * s))
+    return w * s
+
+def _outlier_rows(key, w, frac=0.01, mult=8.0):
+    """Scale a random 1% of input rows (axis -2) by `mult`, RMS-preserving."""
+    n_in = w.shape[-2]
+    mask = jax.random.uniform(key, (n_in,)) < frac
+    scale = jnp.where(mask, mult, 1.0)
+    scale = scale / jnp.sqrt(jnp.mean(scale * scale))
+    return w * scale[..., :, None]
+
+
+def make_weights(dist: str, seed: int, cfg):
+    """init_decoder_weights with each big matrix redrawn/transformed."""
+    from qwen_tts_tpu.core.weights import init_decoder_weights
+
+    w = init_decoder_weights(jax.random.PRNGKey(seed), cfg)
+    if dist == "gaussian":
+        return w
+    key = jax.random.PRNGKey(seed + 1000)
+
+    def xform(k, mat):
+        m = mat.astype(jnp.float32)
+        rms0 = jnp.sqrt(jnp.mean(m * m))
+        k1, k2, k3 = jax.random.split(k, 3)
+        if dist in ("student-t4", "realistic"):
+            m = _t4(k1, m.shape) * rms0
+        if dist in ("chan-sigma", "realistic"):
+            m = _chan_sigma(k2, m)
+        if dist in ("outlier-rows", "realistic"):
+            m = _outlier_rows(k3, m)
+        m = m * rms0 / jnp.sqrt(jnp.mean(m * m) + 1e-20)
+        return m.astype(mat.dtype)
+
+    lw = w.layers
+    ks = jax.random.split(key, 5)
+    lw = lw._replace(
+        wqkv=xform(ks[0], lw.wqkv), wo=xform(ks[1], lw.wo),
+        w_gate_up=xform(ks[2], lw.w_gate_up), w_down=xform(ks[3], lw.w_down))
+    return w._replace(layers=lw, lm_head=xform(ks[4], w.lm_head))
+
+
+# ── coupled trajectory with logits ───────────────────────────────────────
+
+def run_pair(cfg, w, qw, kv_dtype, steps):
+    """Greedy bf16 oracle; quantized model teacher-forced on its trajectory.
+    Returns (oracle_logits [S,V], quant_logits [S,V]) as np arrays."""
+    from qwen_tts_tpu.core.config import CODEC_BOS
+    from qwen_tts_tpu.models import decoder as oracle
+    from qwen_tts_tpu.models.decoder import init_state
+    from qwen_tts_tpu.ops.decode_step import megakernel_forward
+
+    @jax.jit
+    def step_o(w, st, e):
+        st, normed = oracle.forward_chunk(cfg, w, st, e[None])
+        logits = oracle.lm_head_logits(w, normed)[0]
+        return st, logits
+
+    step_q = jax.jit(functools.partial(megakernel_forward, cfg))
+
+    so, sq = init_state(cfg), init_state(cfg, kv_dtype)
+    tok = CODEC_BOS
+    lo, lq = [], []
+    for _ in range(steps):
+        e = w.embed[tok]
+        so, logits_o = step_o(w, so, e)
+        sq, logits_q, _ = step_q(qw, sq, e)
+        a, b = jax.device_get((logits_o, logits_q))
+        lo.append(a)
+        lq.append(b)
+        tok = int(np.argmax(a))
+    return np.stack(lo), np.stack(lq)
+
+
+def analyze(name, lo, lq):
+    """Agreement, cosine, margin stats, agreement-vs-margin-multiplier."""
+    S = lo.shape[0]
+    top1 = lo.argmax(axis=1)
+    agree = float((lq.argmax(axis=1) == top1).mean())
+    cos = float(np.mean([
+        a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+        for a, b in zip(lo, lq)]))
+    # margins and flip excess
+    rows = np.arange(S)
+    o1 = lo[rows, top1]
+    gaps = o1[:, None] - lo                       # [S,V] ≥0, 0 at top1
+    gaps[rows, top1] = np.inf
+    margin = gaps.min(axis=1)                     # top1−top2
+    delta = lq - lo
+    # flip at multiplier m iff max_j (δ_j − δ_top1 − m·gap_j) > 0
+    rel = delta - delta[rows, top1][:, None]      # δ_j − δ_top1
+    ms = [1, 2, 4, 8, 16]
+    agree_m = {m: float(((rel - m * gaps).max(axis=1) <= 0).mean())
+               for m in ms}
+    pert = np.abs(delta).max(axis=1)
+    out = {
+        "dist_backend": name, "agree": round(agree, 4),
+        "logits_cos_mean": round(cos, 5),
+        "margin_med": round(float(np.median(margin)), 3),
+        "pert_med": round(float(np.median(pert)), 3),
+        "agree_at_margin_x": {str(m): round(v, 4)
+                              for m, v in agree_m.items()},
+    }
+    print(json.dumps(out))
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--group", type=int, default=128)
+    p.add_argument("--dists", default="gaussian,student-t4,chan-sigma,"
+                                      "outlier-rows,realistic")
+    p.add_argument("--backends", default="int8,int4")
+    p.add_argument("--max-seq", type=int, default=512)
+    args = p.parse_args()
+
+    from qwen_tts_tpu.core.config import DecoderConfig
+    from qwen_tts_tpu.core.weights import (
+        quantize_decoder_weights,
+        quantize_decoder_weights_int4,
+    )
+
+    cfg = DecoderConfig(max_seq_len=args.max_seq)
+    results = []
+    for dist in args.dists.split(","):
+        t0 = time.time()
+        w = make_weights(dist, args.seed, cfg)
+        for backend in args.backends.split(","):
+            qw = (quantize_decoder_weights_int4(w, group_size=args.group)
+                  if backend == "int4" else quantize_decoder_weights(w))
+            lo, lq = run_pair(cfg, w, qw, jnp.int8, args.steps)
+            results.append(analyze(f"{dist}/{backend}+kv8", lo, lq))
+        print(f"# {dist}: {time.time() - t0:.0f}s", file=sys.stderr)
+
+    # where does int4 cross the tolerated tier (≥95% agreement)?
+    for r in results:
+        if "/int4" in r["dist_backend"]:
+            xs = {int(k): v for k, v in r["agree_at_margin_x"].items()}
+            boundary = next((m for m in sorted(xs) if xs[m] >= 0.95), None)
+            print(f"# {r['dist_backend']}: ≥95% agreement at margin ×"
+                  f"{boundary if boundary else '>16'}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -761,7 +761,7 @@ class TTSEngine:
 
         state, tok, hid = batched_prefill(
             mc.talker, self.weights.talker, prefill_embeds, attn_impl="dense",
-            kv_dtype=self._kv_dtype)
+            kv_dtype=self._kv_dtype, mrope_deltas=self._mrope_deltas)
         state, codes, valid, tok, hid = batched_frames(
             mc.talker, mc.code_predictor,
             self.weights.talker, self.weights.code_predictor,
@@ -769,7 +769,8 @@ class TTSEngine:
             jnp.zeros((B,), jnp.int32), self._tts_pad_embed, rngs,
             num_frames=max_frames, do_sample=cfg.subtalker_do_sample,
             temperature=cfg.subtalker_temperature,
-            top_k=cfg.subtalker_top_k, attn_impl="dense")
+            top_k=cfg.subtalker_top_k, attn_impl="dense",
+            mrope_deltas=self._mrope_deltas)
 
         codes_np, valid_np = jax.device_get((codes, valid))
         results = []

@@ -50,10 +50,15 @@ def cp_predict(
     num_groups: int = 15,
     return_logits: bool = False,
     attn_impl: str = "dense",
-    step_w=None,                   # optional quantized DecoderWeights for the
-                                   # 15 single-token steps (attn_impl="mega");
-                                   # the 2-token prefill always runs w.decoder
-                                   # (bf16 dense — one extra weight pass/frame)
+    step_w=None,                   # optional DecoderWeights override for the
+                                   # 15 single-token steps only (A/B tests).
+                                   # Serving passes step_w=None with
+                                   # `w.decoder` ALREADY quantized, so both
+                                   # the 2-token prefill (quant-aware dense
+                                   # path, decoder.forward_chunk per-layer
+                                   # dequant) and the steps read the same
+                                   # int8/int4 weights — no bf16 copy exists
+                                   # (engine/tts_engine.py initialize()).
     interpret: bool = False,       # Pallas interpret mode (CPU tests)
 ) -> jax.Array:
     """Predict all 16 codebook groups for one audio frame.

@@ -31,6 +31,7 @@ def batched_prefill(
     prefill_embeds: jax.Array,     # [B, 8, H]
     attn_impl: str = "dense",
     kv_dtype=jnp.bfloat16,         # jnp.int8 → per-row-scaled int8 KV cache
+    mrope_deltas=None,             # [n_sections] int32, shared across batch
 ):
     """Fresh-state prefill + first CODEC_BOS decode for B utterances.
 
@@ -39,7 +40,8 @@ def batched_prefill(
 
     def one(embeds):
         return talker_prefill(cfg, w, init_state(cfg, kv_dtype), embeds,
-                              attn_impl=attn_impl)
+                              attn_impl=attn_impl,
+                              mrope_deltas=mrope_deltas)
 
     return jax.vmap(one)(prefill_embeds)
 
@@ -65,6 +67,7 @@ def batched_frames(
     temperature: float = 0.9,
     top_k: int = 50,
     attn_impl: str = "dense",
+    mrope_deltas=None,            # [n_sections] int32, shared across batch
 ):
     """`num_frames` frames for B utterances in ONE dispatch.
 
@@ -76,7 +79,8 @@ def batched_frames(
             talker_cfg, cp_cfg, talker_w, cp_w, state, tok, hid,
             trail, tlen, tidx0, tts_pad_embed, key,
             num_frames=num_frames, do_sample=do_sample,
-            temperature=temperature, top_k=top_k, attn_impl=attn_impl)
+            temperature=temperature, top_k=top_k, attn_impl=attn_impl,
+            mrope_deltas=mrope_deltas)
 
     return jax.vmap(one)(state, prev_token, hidden, trailing,
                          trailing_len, trailing_idx0, rng)

