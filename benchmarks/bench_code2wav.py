@@ -117,6 +117,76 @@ def stage_times(cfg, pw, codes, repeats):
         h = jf(pw, h)
 
 
+def stage_times_xn(cfg, pw, codes, repeats, n=8):
+    """Per-stage cost BELOW the dispatch floor: run each stage N times
+    inside ONE dispatch on N slightly-perturbed inputs (defeats CSE) and
+    report (wall - floor)/N. The tunnel dispatch floor (~27 ms) otherwise
+    hides stage costs of 1-5 ms entirely (docs/05 insight #15)."""
+    from qwen_tts_tpu.vocoder import code2wav_fast as cf
+
+    dt = pw.embed.dtype
+    floor = measure_rtt()
+
+    def embed_tf(pw, codes):
+        offset = (jnp.arange(cfg.num_quantizers, dtype=codes.dtype)
+                  * cfg.codebook_size)[None, :, None]
+        h = jnp.take(pw.embed, codes + offset, axis=0)
+        h = jnp.mean(h.astype(jnp.float32), axis=1).astype(dt)
+        return cf._transformer(cfg, pw, h)
+
+    def upsample(pw, h):
+        for stage in pw.upsample:
+            h = cf._mm_tconv(h, stage.up).astype(dt)
+            h = cf._convnext(h, stage.convnext)
+        return cf._mm_conv(h, pw.dec_pre).astype(dt)
+
+    def block(i):
+        def f(pw, h):
+            blk = pw.dec_blocks[i]
+            h = cf._snake(h, blk.alpha, blk.beta, dt)
+            h = cf._mm_tconv(h, blk.up).astype(dt)
+            for unit in blk.units:
+                r = cf._snake(h, unit.alpha1, unit.beta1, dt)
+                r = cf._mm_conv(r, unit.conv1).astype(dt)
+                r = cf._snake(r, unit.alpha2, unit.beta2, dt)
+                r = cf._mm_conv(r, unit.conv2).astype(dt)
+                h = h + r
+            return h
+        return f
+
+    def post(pw, h):
+        h = cf._snake(h, pw.dec_alpha, pw.dec_beta, dt)
+        return jnp.clip(cf._mm_conv(h, pw.dec_post)[..., 0], -1.0, 1.0)
+
+    stages = [("embed+transformer", embed_tf), ("upsample+pre", upsample)]
+    stages += [(f"dec_block[{i}] r={r}", block(i))
+               for i, r in enumerate(cfg.upsample_rates)]
+    stages.append(("snake+post", post))
+
+    h = codes
+    print(f"  (dispatch floor {floor*1e3:.1f} ms, N={n} repeats/dispatch)")
+    for name, fn in stages:
+        jf = jax.jit(fn)
+        if h.dtype == jnp.int32:
+            def xn(pw, h, fn=fn):
+                acc = jnp.float32(0)
+                for i in range(n):
+                    acc += jnp.sum(fn(pw, (h + i) % cfg.codebook_size)
+                                   .astype(jnp.float32))
+                return acc
+        else:
+            def xn(pw, h, fn=fn):
+                acc = jnp.float32(0)
+                for i in range(n):
+                    acc += jnp.sum(fn(pw, h * (1.0 + 1e-3 * i).__float__())
+                                   .astype(jnp.float32))
+                return acc
+        t = time_fn(jax.jit(xn), pw, h, repeats=repeats)
+        per = max(t - floor, 0.0) / n
+        print(f"  {name:20s} {per*1e3:7.2f} ms/stage   in-shape {tuple(h.shape)}")
+        h = jf(pw, h)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=185,
@@ -129,6 +199,9 @@ def main():
     p.add_argument("--skip-reference", action="store_true")
     p.add_argument("--stages", action="store_true",
                    help="also time the packed forward stage by stage")
+    p.add_argument("--stages-xn", action="store_true",
+                   help="stage timings via N-fold in-dispatch repeat "
+                        "(resolves stage costs below the dispatch floor)")
     args = p.parse_args()
 
     cfg = Code2WavConfig()
@@ -150,6 +223,13 @@ def main():
             cfg.codebook_size, jnp.int32)
         print(f"[stages T={args.frames}] packed {args.dtype}:")
         stage_times(cfg, pw, codes, args.repeats)
+
+    if args.stages_xn:
+        codes = jax.random.randint(
+            jax.random.PRNGKey(1), (1, cfg.num_quantizers, args.frames), 0,
+            cfg.codebook_size, jnp.int32)
+        print(f"[stages-xn T={args.frames}] packed {args.dtype}:")
+        stage_times_xn(cfg, pw, codes, args.repeats)
 
     for label, t in [("window", args.frames), ("chunk", args.chunk_frames)]:
         codes = jax.random.randint(

@@ -52,11 +52,18 @@ import numpy as np
 # ── distribution transforms ──────────────────────────────────────────────
 
 def _t4(key, shape):
-    """Student-t (df=4) scaled to unit variance."""
-    df = 4.0
-    kz, kg = jax.random.split(key)
-    z = jax.random.normal(kz, shape, jnp.float32)
-    g = 2.0 * jax.random.gamma(kg, df / 2.0, shape, jnp.float32)  # chi2(df)
+    """Student-t (df=4) scaled to unit variance.
+
+    chi2(4) is drawn as the sum of 4 squared normals rather than
+    jax.random.gamma — gamma's rejection-sampling loop allocates several
+    full-shape temporaries and ResourceExhausted the TPU on the stacked
+    [L, in, out] weight matrices (observed round 4)."""
+    df = 4
+    keys = jax.random.split(key, df + 1)
+    z = jax.random.normal(keys[0], shape, jnp.float32)
+    g = jnp.zeros(shape, jnp.float32)
+    for k in keys[1:]:
+        g = g + jnp.square(jax.random.normal(k, shape, jnp.float32))
     t = z / jnp.sqrt(g / df)
     return t / np.sqrt(df / (df - 2.0))     # unit variance
 
@@ -85,7 +92,7 @@ def make_weights(dist: str, seed: int, cfg):
         return w
     key = jax.random.PRNGKey(seed + 1000)
 
-    def xform(k, mat):
+    def xform_one(k, mat):
         m = mat.astype(jnp.float32)
         rms0 = jnp.sqrt(jnp.mean(m * m))
         k1, k2, k3 = jax.random.split(k, 3)
@@ -97,6 +104,15 @@ def make_weights(dist: str, seed: int, cfg):
             m = _outlier_rows(k3, m)
         m = m * rms0 / jnp.sqrt(jnp.mean(m * m) + 1e-20)
         return m.astype(mat.dtype)
+
+    def xform(k, mat):
+        # per-layer on stacked [L, in, out] matrices: bounds the peak f32
+        # transient to one layer's matrix (the full-stack form OOM'd)
+        if mat.ndim == 3:
+            ks = jax.random.split(k, mat.shape[0])
+            return jnp.stack(
+                [xform_one(ks[i], mat[i]) for i in range(mat.shape[0])])
+        return xform_one(k, mat)
 
     lw = w.layers
     ks = jax.random.split(key, 5)

@@ -473,17 +473,26 @@ class TTSEngine:
         self._vocoder_fn = jax.jit(raw_decode)
         # Non-streaming decode runs in FIXED windows of `code2wav_window`
         # frames with `code2wav_ctx` frames of left context (upstream
-        # chunked_decode semantics, modeling_qwen3_omni_moe.py:3752-3762) —
-        # exactly TWO compiled shapes instead of per-length geometric
-        # buckets (each full-size compile is ~30 s on the tunnel).
+        # chunked_decode semantics, modeling_qwen3_omni_moe.py:3752-3762).
+        # The FINAL (or only) window pads to the smallest of a few fixed
+        # BUCKETS (W/4, W/2, W) instead of always W — a 50-frame utterance
+        # otherwise pays a full 160-frame window of conv compute (3.2×
+        # waste, measured round 4: bf16+code2wav RTF 0.094 → most of the
+        # gap vs the fast backend). All bucket shapes are warmed at init
+        # so the closed-signature contract holds.
         self._c2w_window = max(cfg.code2wav_window, cfg.code2wav_ctx + 1)
         self._c2w_ctx = cfg.code2wav_ctx
+        W = self._c2w_window
+        self._c2w_buckets = tuple(sorted(
+            {max(W // 4, 1), max(W // 2, 1), W}))
 
         def window_ctx_decode(vw, both):
-            """both [CTX+W, 16] → the window's [W*hop] samples."""
+            """both [CTX+B, 16] → the window's [B*hop] samples (B is the
+            bucket size, static per compiled shape)."""
             wav = raw_decode(vw, both)
+            w_len = both.shape[0] - self._c2w_ctx
             return jax.lax.dynamic_slice_in_dim(
-                wav, self._c2w_ctx * hop - deficit, self._c2w_window * hop)
+                wav, self._c2w_ctx * hop - deficit, w_len * hop)
 
         self._c2w_ctx_fn = jax.jit(window_ctx_decode)
         self.sample_rate = c2c.sample_rate
@@ -500,8 +509,9 @@ class TTSEngine:
         while s < T:
             end = min(s + W, T)
             window = stacked[s:end]
-            if end - s < W:  # repeat-pad the last window to the fixed shape
-                pad = np.broadcast_to(window[-1], (W - (end - s), q))
+            if end - s < W:  # repeat-pad the last window to its BUCKET
+                bucket = next(b for b in self._c2w_buckets if b >= end - s)
+                pad = np.broadcast_to(window[-1], (bucket - (end - s), q))
                 window = np.concatenate([window, pad])
             if s == 0:
                 wav = self._vocoder_fn(self.vocoder_weights,
@@ -590,14 +600,16 @@ class TTSEngine:
             np.asarray(r.codes)
         del state
         if self.vocoder_weights is not None and self._voc_kind == "code2wav":
-            # code2wav non-streaming path: exactly two window shapes
+            # code2wav non-streaming path: every window BUCKET, with and
+            # without left context (first vs continuation windows), so no
+            # utterance length compiles at request time
             g = mc.num_code_groups
-            np.asarray(self._vocoder_fn(
-                self.vocoder_weights,
-                jnp.zeros((self._c2w_window, g), jnp.int32)))
-            np.asarray(self._c2w_ctx_fn(
-                self.vocoder_weights,
-                jnp.zeros((self._c2w_ctx + self._c2w_window, g), jnp.int32)))
+            for b in self._c2w_buckets:
+                np.asarray(self._vocoder_fn(
+                    self.vocoder_weights, jnp.zeros((b, g), jnp.int32)))
+                np.asarray(self._c2w_ctx_fn(
+                    self.vocoder_weights,
+                    jnp.zeros((self._c2w_ctx + b, g), jnp.int32)))
         elif self.vocoder_weights is not None:
             # warm vocoder shape buckets up to ~13s of audio (longer
             # utterances compile their bucket on first use)

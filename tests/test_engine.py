@@ -387,6 +387,33 @@ def test_code2wav_nonstreaming(c2w_engine):
 
 
 @pytest.mark.slow
+def test_code2wav_window_buckets_match_full_window(c2w_engine):
+    """The round-4 bucketed final window (pad to W/4, W/2, or W instead of
+    always W) must reproduce the fixed-W decode exactly: the repeat-padded
+    tail content is identical, only its length differs, and kept samples
+    only look a bounded distance ahead. T values here are strictly inside
+    a bucket (not exact fits) so both forms see the same padded content
+    within every kept sample's dependency cone."""
+    eng = c2w_engine
+    g = eng.model_config.num_code_groups
+    rng = np.random.default_rng(7)
+    W = eng._c2w_window
+    assert eng._c2w_buckets == (W // 4, W // 2, W)
+    for T in (W // 8, W // 3, W + W // 8):   # bucket W/4, W/2, multi-window
+        stacked = rng.integers(
+            0, eng.vocoder_config.codebook_size, (T, g)).astype(np.int32)
+        out_bucketed = eng._c2w_decode_full(stacked)
+        try:
+            eng._c2w_buckets = (W,)          # legacy fixed-W padding
+            out_full = eng._c2w_decode_full(stacked)
+        finally:
+            eng._c2w_buckets = (W // 4, W // 2, W)
+        assert out_bucketed.shape == out_full.shape == (T * eng.vocoder_config.hop_length,)
+        np.testing.assert_allclose(out_bucketed, out_full, rtol=2e-4,
+                                   atol=2e-5)
+
+
+@pytest.mark.slow
 def test_code2wav_quantizer_mismatch_raises():
     from qwen_tts_tpu.core.config import tiny_test_config
     from qwen_tts_tpu.vocoder.code2wav import Code2WavConfig
