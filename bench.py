@@ -112,8 +112,10 @@ def device_up_or_retry(budget: float) -> float | None:
 
 _SUFFIX = {"megagen-int8": "_int8_weights",
            "megagen-int4": "_int4_weights",
+           "megagen-mixed": "_mixed_weights",
            "megagen-int8-kv8": "_int8_weights_kv8",
-           "megagen-int4-kv8": "_int4_weights_kv8"}
+           "megagen-int4-kv8": "_int4_weights_kv8",
+           "megagen-mixed-kv8": "_mixed_weights_kv8"}
 
 
 def bench_tok_s(args, backend: str):
@@ -140,6 +142,10 @@ def bench_tok_s(args, backend: str):
             from qwen_tts_tpu.core.weights import quantize_decoder_weights_int4
 
             gen_w = quantize_decoder_weights_int4(w)
+        elif base == "megagen-mixed":
+            from qwen_tts_tpu.core.weights import quantize_decoder_weights_mixed
+
+            gen_w = quantize_decoder_weights_mixed(w)
 
         def run():
             state = init_state(cfg, kv_dtype)
@@ -254,7 +260,7 @@ def main():
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--quantize", default="none",
-                   choices=["none", "int8", "int4"],
+                   choices=["none", "int8", "int4", "mixed"],
                    help="engine weight quantization tier (serving path)")
     p.add_argument("--kv8", action="store_true",
                    help="engine int8 KV cache (serving path)")
@@ -268,7 +274,8 @@ def main():
                         "runs: --budget 900 or --mode engine")
     p.add_argument("--backend", default="megagen-int8-kv8",
                    choices=["megagen", "megagen-int8", "megagen-int4",
-                            "megagen-int8-kv8", "megagen-int4-kv8",
+                            "megagen-mixed", "megagen-int8-kv8",
+                            "megagen-int4-kv8", "megagen-mixed-kv8",
                             "mega", "pallas", "dense"],
                    help="headline backend. Default is the best config that "
                         "PASSES the validate_kernel quality gate (int8+kv8: "

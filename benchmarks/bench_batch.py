@@ -40,7 +40,7 @@ def main():
                     help="timed chunk dispatches per batch size")
     ap.add_argument("--trailing", type=int, default=64)
     ap.add_argument("--quantize", default="off",
-                    choices=["off", "int8", "int4"],
+                    choices=["off", "int8", "int4", "mixed"],
                     help="serve quantized weights (the quant-aware dense "
                          "path shares one weight read across the batch)")
     ap.add_argument("--kv-cache", default="bf16", choices=["bf16", "int8"],

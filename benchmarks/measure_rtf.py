@@ -31,7 +31,7 @@ def main():
     p.add_argument("--code2wav-impl", default="packed",
                    choices=["packed", "reference"])
     p.add_argument("--quantize", default="off",
-                   choices=["off", "int8", "int4"])
+                   choices=["off", "int8", "int4", "mixed"])
     p.add_argument("--kv-cache", default="bf16", choices=["bf16", "int8"])
     p.add_argument("--cp-quantize", default="int8", choices=["int8", "int4"],
                    help="code-predictor tier when --quantize is on")

@@ -142,7 +142,7 @@ def main():
     p.add_argument("--max-seq", type=int, default=2048)
     p.add_argument("--runs", type=int, default=5)
     p.add_argument("--quantize", default="none",
-                   choices=["none", "int8", "int4"])
+                   choices=["none", "int8", "int4", "mixed"])
     p.add_argument("--kv-cache", default="bf16", choices=["bf16", "int8"])
     args = p.parse_args()
 

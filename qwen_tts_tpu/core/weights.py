@@ -417,20 +417,22 @@ def quantize_decoder_weights(
 def dequantize_layer_weights(q: QuantLayerWeights) -> LayerWeights:
     """Reference dequantization (tests / oracle comparison); handles both
     per-channel ([L,1,out]) and group-wise ([L,ng,out]) scales."""
-    def dq(qm, s):
-        L, n_in, n_out = qm.shape
-        ng = s.shape[1]
-        if ng == 1:
-            return (qm.astype(jnp.float32) * s).astype(jnp.bfloat16)
-        wf = qm.astype(jnp.float32).reshape(L, ng, n_in // ng, n_out)
-        return (wf * s[:, :, None, :]).reshape(L, n_in, n_out).astype(jnp.bfloat16)
-
     return LayerWeights(
         input_norm=q.input_norm, q_norm=q.q_norm, k_norm=q.k_norm,
         post_norm=q.post_norm,
-        wqkv=dq(q.wqkv_q, q.wqkv_s), wo=dq(q.wo_q, q.wo_s),
-        w_gate_up=dq(q.w_gate_up_q, q.w_gate_up_s),
-        w_down=dq(q.w_down_q, q.w_down_s))
+        wqkv=_dq_l_int8(q.wqkv_q, q.wqkv_s), wo=_dq_l_int8(q.wo_q, q.wo_s),
+        w_gate_up=_dq_l_int8(q.w_gate_up_q, q.w_gate_up_s),
+        w_down=_dq_l_int8(q.w_down_q, q.w_down_s))
+
+
+def _dq_l_int8(qm: jax.Array, s: jax.Array) -> jax.Array:
+    """[L, in, out] int8 + [L, ng, out] f32 → bf16 [L, in, out]."""
+    L, n_in, n_out = qm.shape
+    ng = s.shape[1]
+    if ng == 1:
+        return (qm.astype(jnp.float32) * s).astype(jnp.bfloat16)
+    wf = qm.astype(jnp.float32).reshape(L, ng, n_in // ng, n_out)
+    return (wf * s[:, :, None, :]).reshape(L, n_in, n_out).astype(jnp.bfloat16)
 
 
 # ── int4 group-wise weight-only quantization ─────────────────────────────────
@@ -576,20 +578,76 @@ def dequant_mat_slice_int4(qm: jax.Array, s: jax.Array) -> jax.Array:
     return wf.reshape(n_in, n_out).astype(jnp.bfloat16)
 
 
+def _dq_l_int4(qm: jax.Array, s: jax.Array) -> jax.Array:
+    """[L, in/2, out] packed int4 + [L, ng, out] f32 → bf16 [L, in, out]."""
+    L, n_half, n_out = qm.shape
+    n_in = n_half * 2
+    ng = s.shape[1]
+    lo, hi = unpack_int4(qm)
+    wf = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
+    wf = wf.reshape(L, ng, n_in // ng, n_out) * s[:, :, None, :]
+    return wf.reshape(L, n_in, n_out).astype(jnp.bfloat16)
+
+
 def dequantize_layer_weights_int4(q: Quant4LayerWeights) -> LayerWeights:
     """Reference dequantization (tests / oracle comparison)."""
-    def dq(qm, s):
-        L, n_half, n_out = qm.shape
-        n_in = n_half * 2
-        ng = s.shape[1]
-        lo, hi = unpack_int4(qm)
-        wf = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
-        wf = wf.reshape(L, ng, n_in // ng, n_out) * s[:, :, None, :]
-        return wf.reshape(L, n_in, n_out).astype(jnp.bfloat16)
-
     return LayerWeights(
         input_norm=q.input_norm, q_norm=q.q_norm, k_norm=q.k_norm,
         post_norm=q.post_norm,
-        wqkv=dq(q.wqkv_q, q.wqkv_s), wo=dq(q.wo_q, q.wo_s),
-        w_gate_up=dq(q.w_gate_up_q, q.w_gate_up_s),
-        w_down=dq(q.w_down_q, q.w_down_s))
+        wqkv=_dq_l_int4(q.wqkv_q, q.wqkv_s), wo=_dq_l_int4(q.wo_q, q.wo_s),
+        w_gate_up=_dq_l_int4(q.w_gate_up_q, q.w_gate_up_s),
+        w_down=_dq_l_int4(q.w_down_q, q.w_down_s))
+
+
+# ── mixed-precision weight-only quantization (int8 attention + int4 MLP) ─────
+#
+# The MLP matrices (w_gate_up + w_down) are 60% of the layer weight bytes
+# (H·2I + I·H = 9.44M params/layer vs attention's H·(Q+2KV) + Q·H = 6.29M at
+# the talker shape), but the quality-critical path — attention scores, the
+# K/V columns persisted in the cache, and the per-step argmax margins — runs
+# through the attention matrices. Quantizing ONLY the MLP to int4-g128 and
+# keeping attention at per-channel int8 lands between the pure tiers on both
+# axes: ~72% of int8's weight bytes with far less argmax-flipping noise than
+# all-int4 (gates: validate_kernel.py --backend megagen-mixed; CPU parity:
+# tests/test_megakernel.py).
+#
+# No new container or kernel code: `mm_scaled` (ops/decode_step.py:76)
+# dispatches per-MATRIX by shape (packed int4 when w rows == in/2, int8
+# per-channel when the scale has one group row), and the quant-aware prefill
+# (models/decoder.py) picks the dequant form per matrix the same way. The
+# mixed form therefore reuses Quant4DecoderWeights with int8-shaped
+# attention fields: wqkv_q [L,H,Q+2KV] int8 + wqkv_s [L,1,Q+2KV], ditto wo;
+# w_gate_up/w_down stay nibble-packed [L,in/2,out] + [L,in/G,out] scales.
+
+
+def quantize_decoder_weights_mixed(
+    w: DecoderWeights, group_size: int = INT4_GROUP,
+    quant_head: bool = True,
+) -> Quant4DecoderWeights:
+    """bf16 DecoderWeights → int8-attention + int4-g128-MLP mixed form."""
+    lw = w.layers
+    wqkv_q, wqkv_s = _quant_mat(lw.wqkv)          # int8 per-channel
+    wo_q, wo_s = _quant_mat(lw.wo)                # int8 per-channel
+    wgu_q, wgu_s = _quant_mat_int4(lw.w_gate_up, group_size)
+    wd_q, wd_s = _quant_mat_int4(lw.w_down, group_size)
+    head, head_s = (quantize_lm_head(w.lm_head) if quant_head
+                    else (w.lm_head, None))
+    return Quant4DecoderWeights(
+        layers=Quant4LayerWeights(
+            input_norm=lw.input_norm, q_norm=lw.q_norm, k_norm=lw.k_norm,
+            post_norm=lw.post_norm,
+            wqkv_q=wqkv_q, wqkv_s=wqkv_s, wo_q=wo_q, wo_s=wo_s,
+            w_gate_up_q=wgu_q, w_gate_up_s=wgu_s,
+            w_down_q=wd_q, w_down_s=wd_s),
+        final_norm=w.final_norm, embed=w.embed, lm_head=head,
+        rope=w.rope, lm_head_s=head_s)
+
+
+def dequantize_layer_weights_mixed(q: Quant4LayerWeights) -> LayerWeights:
+    """Reference dequantization of the mixed form (tests / oracle)."""
+    return LayerWeights(
+        input_norm=q.input_norm, q_norm=q.q_norm, k_norm=q.k_norm,
+        post_norm=q.post_norm,
+        wqkv=_dq_l_int8(q.wqkv_q, q.wqkv_s), wo=_dq_l_int8(q.wo_q, q.wo_s),
+        w_gate_up=_dq_l_int4(q.w_gate_up_q, q.w_gate_up_s),
+        w_down=_dq_l_int4(q.w_down_q, q.w_down_s))

@@ -114,7 +114,9 @@ class TTSConfig:
     # ONE weight copy in HBM like the reference (model_tts.py:56-179).
     #   False → bf16; True | "int8" → per-channel int8 (+ int8 LM head);
     #   "int4" → group-128 int4 talker (CP stays int8 — 5 layers, quality-
-    #   sensitive heads; quality numbers: README results table).
+    #   sensitive heads; quality numbers: README results table);
+    #   "mixed" → int8 attention + int4-g128 MLP (60% of layer bytes at
+    #   int4 with int8-grade attention/cache numerics — the middle tier).
     quantize: bool | str = False
     # Talker KV-cache dtype: "bf16" | "int8". int8 halves the position-
     # proportional cache read traffic (per-row f32 scales; docs/02).
@@ -237,18 +239,20 @@ class TTSEngine:
         qmode = cfg.quantize
         if qmode is True:
             qmode = "int8"
-        if qmode not in (False, "int8", "int4"):
+        if qmode not in (False, "int8", "int4", "mixed"):
             raise ValueError(f"unknown quantize mode {cfg.quantize!r}")
         self._quant_mode = qmode
         if qmode:
             from ..core.weights import (
                 quantize_decoder_weights,
                 quantize_decoder_weights_int4,
+                quantize_decoder_weights_mixed,
             )
 
-            qt = (quantize_decoder_weights_int4(self.weights.talker)
-                  if qmode == "int4"
-                  else quantize_decoder_weights(self.weights.talker))
+            quantizer = {"int8": quantize_decoder_weights,
+                         "int4": quantize_decoder_weights_int4,
+                         "mixed": quantize_decoder_weights_mixed}[qmode]
+            qt = quantizer(self.weights.talker)
             if cfg.cp_quantize not in ("int8", "int4"):
                 raise ValueError(
                     f"unknown cp_quantize mode {cfg.cp_quantize!r}")

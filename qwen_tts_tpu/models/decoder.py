@@ -371,13 +371,15 @@ def forward_chunk(
 
     lw_all = w.layers
     quant = hasattr(lw_all, "wqkv_q")
-    int4 = quant and lw_all.wqkv_q.shape[1] * 2 == cfg.hidden_size
 
     def body(x, layer):
         if quant:
             # quant-aware prefill: dequantize ONE layer's slab on the fly —
             # same weight bytes streamed as a decode step, no resident bf16
-            # copy (reference keeps one weight copy, model_tts.py:56-179)
+            # copy (reference keeps one weight copy, model_tts.py:56-179).
+            # The form is picked per MATRIX by shape (packed int4 stores
+            # in/2 rows), so int8, int4, and the mixed int8-attn/int4-MLP
+            # tier all flow through the same body.
             from ..core.weights import (
                 dequant_mat_slice,
                 dequant_mat_slice_int4,
@@ -385,11 +387,18 @@ def forward_chunk(
 
             (inn, qn, kn, pn, wqkv_q, wqkv_s, wo_q, wo_s,
              wgu_q, wgu_s, wd_q, wd_s, li) = layer
-            dq = dequant_mat_slice_int4 if int4 else dequant_mat_slice
+
+            def dq(qm, s, n_in):
+                packed = qm.shape[0] * 2 == n_in
+                return (dequant_mat_slice_int4 if packed
+                        else dequant_mat_slice)(qm, s)
+
             lw = LayerSlice(
-                input_norm=inn, wqkv=dq(wqkv_q, wqkv_s), q_norm=qn,
-                k_norm=kn, wo=dq(wo_q, wo_s), post_norm=pn,
-                w_gate_up=dq(wgu_q, wgu_s), w_down=dq(wd_q, wd_s))
+                input_norm=inn,
+                wqkv=dq(wqkv_q, wqkv_s, cfg.hidden_size), q_norm=qn,
+                k_norm=kn, wo=dq(wo_q, wo_s, cfg.q_size), post_norm=pn,
+                w_gate_up=dq(wgu_q, wgu_s, cfg.hidden_size),
+                w_down=dq(wd_q, wd_s, cfg.intermediate_size))
         else:
             lw = LayerSlice(*layer[:-1])
             li = layer[-1]

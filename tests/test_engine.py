@@ -160,6 +160,24 @@ def test_cp_int4_dense_path(tiny_cfg):
 
 
 @pytest.mark.slow
+def test_quantize_mixed_dense_path(tiny_cfg):
+    """quantize="mixed": int8 attention + packed-int4 MLP through the same
+    quant-aware serving path (prefills AND steps on one weight copy)."""
+    from qwen_tts_tpu.engine.tts_engine import TTSConfig, TTSEngine
+
+    eng = TTSEngine(TTSConfig(max_seq_len=128, chunk_frames=4,
+                              quantize="mixed"),
+                    model_config=tiny_cfg)
+    eng.initialize()
+    tl = eng.weights.talker.layers
+    h = eng.model_config.talker.hidden_size
+    assert tl.wqkv_q.shape[1] == h                # attention: int8 rows
+    assert tl.w_gate_up_q.shape[1] * 2 == h       # MLP: packed nibbles
+    wav, sr = eng.synthesize("mixed tier knob check")
+    assert len(wav) > 0
+
+
+@pytest.mark.slow
 def test_mrope_engine_bit_identical_to_standard(tiny_cfg):
     """Text-only M-RoPE (zero per-section deltas — the real Qwen3-TTS decode
     scheme) must produce BIT-identical codec frames to standard RoPE: the

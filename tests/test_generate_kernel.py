@@ -164,6 +164,34 @@ def test_generate_int4_matches_dequantized_oracle(w):
     assert matches >= n - 1, f"oracle {oracle_tokens} vs int4 {got}"
 
 
+@pytest.mark.slow
+def test_generate_mixed_matches_dequantized_oracle(w):
+    """MIXED tier (int8 attention + packed-int4 MLP) through the N-step
+    generate kernel vs an oracle on the dequantized weights — `mm_scaled`
+    picks the per-matrix form by shape, no mixed-specific kernel code."""
+    from qwen_tts_tpu.core.weights import (
+        dequantize_layer_weights_mixed,
+        quantize_decoder_weights_mixed,
+    )
+
+    qw = quantize_decoder_weights_mixed(w)
+    w_dq = w._replace(layers=dequantize_layer_weights_mixed(qw.layers),
+                      lm_head=_dequant_head(qw))
+
+    n = 10
+    state_o = init_state(CFG)
+    tok = jnp.int32(5)
+    oracle_tokens = []
+    for _ in range(n):
+        state_o, tok, _ = decode_step(CFG, w_dq, state_o, tok)
+        oracle_tokens.append(int(tok))
+
+    state_m, tokens = _gen_interpret(qw, init_state(CFG), jnp.int32(5), n)
+    got = [int(t) for t in np.asarray(tokens)]
+    matches = sum(a == b for a, b in zip(oracle_tokens, got))
+    assert matches >= n - 1, f"oracle {oracle_tokens} vs mixed {got}"
+
+
 def test_int4_quantization_quality():
     """Group-wise int4 beats per-CHANNEL int4 and sits at the error level a
     15-level uniform grid physically gives on gaussian weights (~12-13%

@@ -177,6 +177,42 @@ def test_megakernel_int4_step(w):
     assert n_match >= 7, f"only {n_match}/8 tokens matched"
 
 
+@pytest.mark.slow
+def test_megakernel_mixed_step(w):
+    """MIXED tier (int8 attention + packed-int4 MLP) through the SINGLE-STEP
+    kernel vs a dense oracle on the dequantized weights. The kernel has no
+    mixed-specific code: `mm_scaled` dispatches per matrix by shape."""
+    from qwen_tts_tpu.core.weights import (
+        dequantize_layer_weights_mixed,
+        quantize_decoder_weights_mixed,
+    )
+
+    qw = quantize_decoder_weights_mixed(w)
+    # attention fields int8-shaped, MLP fields packed
+    assert qw.layers.wqkv_q.shape[1] == CFG.hidden_size
+    assert qw.layers.w_gate_up_q.shape[1] == CFG.hidden_size // 2
+    head_dq = (qw.lm_head.astype(jnp.float32) * qw.lm_head_s).astype(jnp.bfloat16)
+    w_dq = w._replace(layers=dequantize_layer_weights_mixed(qw.layers),
+                      lm_head=head_dq)
+
+    state_o = init_state(CFG)
+    state_m = init_state(CFG)
+    embed = jax.random.normal(jax.random.PRNGKey(9), (CFG.hidden_size,),
+                              dtype=jnp.float32)
+    n_match = 0
+    for step in range(8):
+        state_o, tok_o, hid_o = oracle.decode_step_with_embed(
+            CFG, w_dq, state_o, embed)
+        state_m, logits_m, hid_m = _mega_step(qw, state_m, embed)
+        a, b = np.asarray(hid_o), np.asarray(hid_m)
+        cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+        assert cos > 0.999, f"step {step}: cosine {cos}"
+        if int(tok_o) == int(jnp.argmax(logits_m)):
+            n_match += 1
+        embed = hid_o
+    assert n_match >= 7, f"only {n_match}/8 tokens matched"
+
+
 def test_quant_prefill_matches_dequantized():
     """The quant-aware T>1 dense path (per-layer on-the-fly dequant) is
     BIT-IDENTICAL to running the dense path on pre-dequantized bf16 weights
@@ -184,8 +220,10 @@ def test_quant_prefill_matches_dequantized():
     from qwen_tts_tpu.core.weights import (
         dequantize_layer_weights,
         dequantize_layer_weights_int4,
+        dequantize_layer_weights_mixed,
         quantize_decoder_weights,
         quantize_decoder_weights_int4,
+        quantize_decoder_weights_mixed,
     )
 
     w = init_decoder_weights(jax.random.PRNGKey(7), CFG)
@@ -193,7 +231,9 @@ def test_quant_prefill_matches_dequantized():
                                (8, CFG.hidden_size), dtype=jnp.float32)
     for qf, dqf in ((quantize_decoder_weights, dequantize_layer_weights),
                     (quantize_decoder_weights_int4,
-                     dequantize_layer_weights_int4)):
+                     dequantize_layer_weights_int4),
+                    (quantize_decoder_weights_mixed,
+                     dequantize_layer_weights_mixed)):
         qw = qf(w)
         w_dq = w._replace(layers=dqf(qw.layers))
         s_q, normed_q = oracle.forward_chunk(CFG, qw, init_state(CFG), embeds)

@@ -133,16 +133,17 @@ def validate_quantized(args):
     validate_kernel.py:204-258, acceptance policy :413-435).
 
     `--backend all-quant` runs every quantized config (int8, int8+kv8,
-    int4, int4+kv8) in THIS process, sharing the single oracle trajectory —
-    one oracle compile instead of four processes. Exit code in that mode:
-    1 only if an int8-tier config lands BELOW TIER (int4 below-tier on
-    random weights is the documented expectation and is recorded, not
-    failed)."""
+    mixed, mixed+kv8, int4, int4+kv8) in THIS process, sharing the single
+    oracle trajectory — one oracle compile instead of several processes.
+    Exit code in that mode: 1 only if an int8-tier config (incl. the mixed
+    int8-attn/int4-MLP tier) lands BELOW TIER (int4 below-tier on random
+    weights is the documented expectation and is recorded, not failed)."""
     from qwen_tts_tpu.core.config import DecoderConfig
     from qwen_tts_tpu.core.weights import (
         init_decoder_weights,
         quantize_decoder_weights,
         quantize_decoder_weights_int4,
+        quantize_decoder_weights_mixed,
     )
     from qwen_tts_tpu.models import decoder as oracle
 
@@ -152,6 +153,8 @@ def validate_quantized(args):
         "megagen-int8": lambda: quantize_decoder_weights(w),
         "megagen-int8g": lambda: quantize_decoder_weights(w, group_size=args.group),
         "megagen-int4": lambda: quantize_decoder_weights_int4(
+            w, group_size=args.group),
+        "megagen-mixed": lambda: quantize_decoder_weights_mixed(
             w, group_size=args.group),
     }
 
@@ -169,6 +172,7 @@ def validate_quantized(args):
     # the quality evidence the README results table quotes (VERDICT r2 #6)
     if args.backend == "all-quant":
         combos = [("megagen-int8", False), ("megagen-int8", True),
+                  ("megagen-mixed", False), ("megagen-mixed", True),
                   ("megagen-int4", False), ("megagen-int4", True)]
     else:
         combos = [(args.backend, args.kv8)]
@@ -208,6 +212,7 @@ def validate_free_run(args):
         init_decoder_weights,
         quantize_decoder_weights,
         quantize_decoder_weights_int4,
+        quantize_decoder_weights_mixed,
     )
     from qwen_tts_tpu.models import decoder as oracle
     from qwen_tts_tpu.models.decoder import init_state
@@ -249,6 +254,8 @@ def validate_free_run(args):
     combos = [
         ("bf16-mega", w, jnp.bfloat16),
         ("int8+kv8", quantize_decoder_weights(w), jnp.int8),
+        ("mixed+kv8", quantize_decoder_weights_mixed(w, group_size=args.group),
+         jnp.int8),
         ("int4+kv8", quantize_decoder_weights_int4(w, group_size=args.group),
          jnp.int8),
     ]
@@ -358,7 +365,8 @@ def main():
                         "with an int8 KV cache too (the serving config)")
     p.add_argument("--backend", default="mega",
                    choices=["mega", "megagen-int8", "megagen-int8g",
-                            "megagen-int4", "cp-int8", "cp-int4", "all-quant"],
+                            "megagen-int4", "megagen-mixed",
+                            "cp-int8", "cp-int4", "all-quant"],
                    help="mega = bf16 kernel vs oracle (reference cases); "
                         "quantized backends run the coupled comparison; "
                         "cp-int8 validates the quantized code-predictor path; "
