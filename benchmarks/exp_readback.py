@@ -48,18 +48,23 @@ def main():
 
     n, hop, g = args.chunk, args.hop, args.groups
 
-    codes = jnp.zeros((n, g), jnp.int32)
-    valid = jnp.ones((n,), jnp.int32)
-    audio = jnp.zeros((n * hop,), jnp.float32)
+    # JAX caches the host copy of a transferred array, so every timed
+    # iteration must read FRESH device arrays: a trivial jit fn keyed by a
+    # changing scalar produces new buffers (~μs of compute) each run.
+    @jax.jit
+    def make(i):
+        codes = jnp.full((n, g), i, jnp.int32)
+        valid = jnp.ones((n,), jnp.bool_)
+        audio = jnp.full((n * hop,), jnp.float32(i))
+        return codes, valid, audio
 
     @jax.jit
-    def pack(codes, valid, audio):
-        # one readback buffer: [audio | bitcast(codes) | bitcast(valid)]
-        tail = jnp.concatenate(
-            [codes.reshape(-1), valid]).view(jnp.float32)
+    def make_packed(i):
+        codes, valid, audio = make(i)
+        tail = jax.lax.bitcast_convert_type(
+            jnp.concatenate([codes.reshape(-1), valid.astype(jnp.int32)]),
+            jnp.float32)
         return jnp.concatenate([audio, tail])
-
-    packed = pack(codes, valid, audio)
 
     def unpack(buf):
         a = buf[: n * hop]
@@ -72,29 +77,29 @@ def main():
     x = jnp.ones((8, 128))
     np.asarray(x)
     rtt, _ = _timed(lambda: np.asarray(x + 1.0), 10)
-    jax.device_get((codes, valid, audio))
-    np.asarray(packed)
+    jax.device_get(make(0))
+    np.asarray(make_packed(0))
 
-    m_single, lo_single = _timed(lambda: np.asarray(audio), args.runs)
+    k = [1]
+
+    def fresh():
+        k[0] += 1
+        return k[0]
+
+    m_single, lo_single = _timed(
+        lambda: np.asarray(make(fresh())[2]), args.runs)
     m_tree, lo_tree = _timed(
-        lambda: jax.device_get((codes, valid, audio)), args.runs)
-    m_packed_raw, _ = _timed(lambda: np.asarray(packed), args.runs)
-
-    def packed_roundtrip():
-        buf = np.asarray(packed)
-        unpack(buf)
-
-    m_packed, lo_packed = _timed(packed_roundtrip, args.runs)
+        lambda: jax.device_get(make(fresh())), args.runs)
     m_seq, _ = _timed(
-        lambda: (np.asarray(codes), np.asarray(valid), np.asarray(audio)),
-        args.runs)
+        lambda: [np.asarray(a) for a in make(fresh())], args.runs)
+    m_packed, lo_packed = _timed(
+        lambda: unpack(np.asarray(make_packed(fresh()))), args.runs)
 
     print(f"tunnel RTT (8x128 add):        {rtt:7.2f} ms")
-    print(f"single [N={n*hop}] f32:        {m_single:7.2f} ms (min {lo_single:.2f})")
-    print(f"device_get 3-array pytree:     {m_tree:7.2f} ms (min {lo_tree:.2f})")
+    print(f"single fresh [N={n*hop}] f32:  {m_single:7.2f} ms (min {lo_single:.2f})")
+    print(f"device_get fresh 3-tuple:      {m_tree:7.2f} ms (min {lo_tree:.2f})")
     print(f"3x sequential np.asarray:      {m_seq:7.2f} ms")
-    print(f"packed single + host unpack:   {m_packed:7.2f} ms (min {lo_packed:.2f})"
-          f"  [raw {m_packed_raw:.2f}]")
+    print(f"packed single + host unpack:   {m_packed:7.2f} ms (min {lo_packed:.2f})")
     save = m_tree - m_packed
     print(f"=> packing saves {save:.2f} ms/chunk "
           f"({'WORTH IT' if save > 5 else 'not worth it'} at 10-frame chunks: "

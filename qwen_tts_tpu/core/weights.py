@@ -603,13 +603,18 @@ def dequantize_layer_weights_int4(q: Quant4LayerWeights) -> LayerWeights:
 #
 # The MLP matrices (w_gate_up + w_down) are 60% of the layer weight bytes
 # (H·2I + I·H = 9.44M params/layer vs attention's H·(Q+2KV) + Q·H = 6.29M at
-# the talker shape), but the quality-critical path — attention scores, the
-# K/V columns persisted in the cache, and the per-step argmax margins — runs
-# through the attention matrices. Quantizing ONLY the MLP to int4-g128 and
-# keeping attention at per-channel int8 lands between the pure tiers on both
-# axes: ~72% of int8's weight bytes with far less argmax-flipping noise than
-# all-int4 (gates: validate_kernel.py --backend megagen-mixed; CPU parity:
-# tests/test_megakernel.py).
+# the talker shape), but the quality-critical path — attention scores and
+# the K/V columns persisted in the cache — runs through the attention
+# matrices. Quantizing ONLY the MLP to int4-g128 and keeping attention at
+# per-channel int8 gives ~72% of int8's weight bytes with hidden-state
+# fidelity strictly between the pure tiers (cos ~0.94 vs int8's ~0.999 and
+# int4's ~0.83 on random weights — benchmarks/exp_mixed_numerics.py), and
+# it is FASTER than all-int4 on hardware (2034.5 vs 1942 tok/s @1024):
+# int8 attention skips the nibble-unpack VPU work on the critical path, so
+# mixed is exactly bytes-proportional to int8 (1466/0.72) while all-int4
+# is unpack-bound below its bandwidth prediction. Gates:
+# validate_kernel.py --backend megagen-mixed; CPU parity:
+# tests/test_megakernel.py.
 #
 # No new container or kernel code: `mm_scaled` (ops/decode_step.py:76)
 # dispatches per-MATRIX by shape (packed int4 when w rows == in/2, int8
