@@ -4,7 +4,11 @@
 TPU port of the reference RTF benchmark (reference: benchmarks/measure_rtf.py:
 23-153). Both modes run through the public engine API on warm compiled
 signatures; the streaming mode exercises the fully fused pipelined path
-(frames+vocoder per dispatch, depth-1 speculation).
+(frames+vocoder per dispatch, depth-2 speculation) and reports the
+steady-state inter-chunk wall (median gap between chunk arrivals after the
+first) — the direct probe for the dispatch pipeline: with the readback round
+trip overlapped against the next chunk's compute, the gap should sit near
+max(chunk compute, tunnel RTT) rather than their sum.
 """
 
 import argparse
@@ -33,7 +37,8 @@ def main():
     p.add_argument("--quantize", default="off",
                    choices=["off", "int8", "int4", "mixed"])
     p.add_argument("--kv-cache", default="bf16", choices=["bf16", "int8"])
-    p.add_argument("--cp-quantize", default="int8", choices=["int8", "int4"],
+    p.add_argument("--cp-quantize", default="int8",
+                   choices=["int8", "int4", "mixed"],
                    help="code-predictor tier when --quantize is on")
     args = p.parse_args()
 
@@ -53,11 +58,11 @@ def main():
     async def stream():
         t0 = time.perf_counter()
         total = 0
-        n_chunks = 0
+        arrivals = []
         async for audio, sr in eng.synthesize_streaming(args.text):
+            arrivals.append(time.perf_counter() - t0)
             total += len(audio)
-            n_chunks += 1
-        return time.perf_counter() - t0, total, n_chunks
+        return arrivals[-1] if arrivals else 0.0, total, arrivals
 
     asyncio.run(stream())   # warm
 
@@ -72,13 +77,20 @@ def main():
           f"({eng.get_metrics()['frames_generated']} frames)")
     print(f"non-streaming RTF: {rtf_ns:.3f} ({'PASS' if rtf_ns < 0.3 else 'FAIL'} vs 0.3)")
 
-    best_s = float("inf")
+    best_s, samples = float("inf"), 0
+    best_arrivals = []
     for _ in range(args.runs):
-        wall, samples, n_chunks = asyncio.run(stream())
-        best_s = min(best_s, wall)
+        wall, run_samples, arrivals = asyncio.run(stream())
+        if wall < best_s:
+            best_s, samples, best_arrivals = wall, run_samples, arrivals
+    n_chunks = len(best_arrivals)
     sdur = samples / eng.sample_rate
     rtf_s = best_s / sdur if sdur else float("inf")
     print(f"streaming: {best_s * 1000:.0f} ms for {sdur:.2f}s audio in {n_chunks} chunks")
+    gaps = sorted(b - a for a, b in zip(best_arrivals[1:-1], best_arrivals[2:]))
+    if gaps:   # steady-state chunks only: skip TTFC and the terminal partial
+        print(f"inter-chunk wall: median {gaps[len(gaps) // 2] * 1000:.1f} ms "
+              f"max {gaps[-1] * 1000:.1f} ms over {len(gaps)} steady gaps")
     print(f"streaming RTF: {rtf_s:.3f} ({'PASS' if rtf_s < 0.3 else 'FAIL'} vs 0.3)")
 
 

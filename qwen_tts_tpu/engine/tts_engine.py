@@ -123,8 +123,10 @@ class TTSConfig:
     kv_cache: str = "bf16"
     # Code-predictor weight tier when `quantize` is on. Default "int8"
     # (5 layers, quality-sensitive lm heads); "int4" = group-128 int4
-    # decoder matrices for maximum bandwidth saving — quality evidence via
-    # `validate_kernel.py --backend cp-int4` before serving with it.
+    # decoder matrices for maximum bandwidth saving; "mixed" = int8
+    # attention + int4 MLP (same tradeoff as the talker's mixed tier) —
+    # quality evidence via `validate_kernel.py --backend cp-int4` /
+    # `cp-mixed` before serving with it.
     cp_quantize: str = "int8"
     # M-RoPE: the real Qwen3-TTS talker uses mrope_section [24, 20, 20]
     # in the Qwen3-Omni INTERLEAVED layout; the reference kernel only does
@@ -253,14 +255,15 @@ class TTSEngine:
                          "int4": quantize_decoder_weights_int4,
                          "mixed": quantize_decoder_weights_mixed}[qmode]
             qt = quantizer(self.weights.talker)
-            if cfg.cp_quantize not in ("int8", "int4"):
+            if cfg.cp_quantize not in ("int8", "int4", "mixed"):
                 raise ValueError(
                     f"unknown cp_quantize mode {cfg.cp_quantize!r}")
-            qcp = (quantize_decoder_weights_int4(
-                       self.weights.code_predictor.decoder, quant_head=False)
-                   if cfg.cp_quantize == "int4"
-                   else quantize_decoder_weights(
-                       self.weights.code_predictor.decoder, quant_head=False))
+            cp_quantizer = {"int8": quantize_decoder_weights,
+                            "int4": quantize_decoder_weights_int4,
+                            "mixed": quantize_decoder_weights_mixed}[
+                                cfg.cp_quantize]
+            qcp = cp_quantizer(self.weights.code_predictor.decoder,
+                               quant_head=False)
             self.weights = self.weights._replace(
                 talker=qt,
                 code_predictor=self.weights.code_predictor._replace(
@@ -889,6 +892,17 @@ class TTSEngine:
             codes, valid, audio, n, base = q.popleft()
             if base >= max_frames:
                 break
+            # depth-2 pipeline: enqueue the NEXT chunk BEFORE the blocking
+            # read, so this chunk's readback round trip (~1 tunnel RTT)
+            # overlaps the next chunk's device compute — steady-state chunk
+            # wall drops from compute+RTT to max(compute, RTT). The first
+            # chunk is excluded so the TTFC path and the early-close
+            # speculative budget (one chunk in flight at first yield) are
+            # unchanged; from the second yield on, an early generator close
+            # leaves at most TWO speculative chunks, which `drain_device`
+            # already absorbs.
+            if base > 0 and planned < max_frames:
+                enqueue(chunk_size)
             codes_np, valid_np, audio_np = jax.device_get((codes, valid, audio))
             keep = min(int(valid_np.sum()), max_frames - base)
             frames = [codes_np[i] for i in range(keep)]
@@ -897,10 +911,9 @@ class TTSEngine:
             if keep == n:
                 yield audio_np[: keep * hop].astype(np.float32), frames
                 prev_np = codes_np[:n]
-                # keep the pipe depth-1 full — enqueued AFTER the yield so
-                # an early generator close (e.g. a TTFC probe) leaves at
-                # most ONE speculative chunk on the device, not two
-                if planned < max_frames:
+                # refill the pipe to depth 2 after the first chunk's yield
+                # (steady-state refills happen pre-read above)
+                if base == 0 and planned < max_frames:
                     enqueue(chunk_size)
             else:
                 if keep > 0:

@@ -178,6 +178,25 @@ def test_quantize_mixed_dense_path(tiny_cfg):
 
 
 @pytest.mark.slow
+def test_cp_mixed_dense_path(tiny_cfg):
+    """cp_quantize="mixed": the code predictor serves int8-attention +
+    packed-int4-MLP decoder matrices through the quant-aware dense path
+    (quality evidence recorded via validate_kernel --backend cp-mixed)."""
+    from qwen_tts_tpu.engine.tts_engine import TTSConfig, TTSEngine
+
+    eng = TTSEngine(TTSConfig(max_seq_len=128, chunk_frames=4,
+                              quantize="mixed", cp_quantize="mixed"),
+                    model_config=tiny_cfg)
+    eng.initialize()
+    cp_layers = eng.weights.code_predictor.decoder.layers
+    h = eng.model_config.code_predictor.hidden_size
+    assert cp_layers.wqkv_q.shape[1] == h             # attention: int8 rows
+    assert cp_layers.w_gate_up_q.shape[1] * 2 == h    # MLP: packed nibbles
+    wav, sr = eng.synthesize("cp mixed knob check")
+    assert len(wav) > 0
+
+
+@pytest.mark.slow
 def test_mrope_engine_bit_identical_to_standard(tiny_cfg):
     """Text-only M-RoPE (zero per-section deltas — the real Qwen3-TTS decode
     scheme) must produce BIT-identical codec frames to standard RoPE: the
@@ -448,6 +467,50 @@ def test_code2wav_quantizer_mismatch_raises():
 
 
 @pytest.mark.slow
+def test_streaming_speculation_budget(engine):
+    """The depth-2 streaming pipeline keeps a BOUNDED speculative budget on
+    early generator close: exactly 1 in-flight chunk when closed at the
+    first yield (the TTFC-probe path — unchanged from depth-1), and exactly
+    2 unread chunks at any later yield (the pre-read refill). Serving
+    cancellation (`test_serving.py` mid-stream disconnect) assumes
+    `drain_device()` only ever has to absorb this much."""
+    real = engine._chunk_audio_fn
+    calls = 0
+
+    def counting(*a, **k):
+        nonlocal calls
+        calls += 1
+        return real(*a, **k)
+
+    async def consume(n_yields):
+        nonlocal calls
+        calls = 0
+        agen = engine.synthesize_streaming(
+            "a reasonably long streaming speculation budget test sentence")
+        got = 0
+        try:
+            async for _audio, _sr in agen:
+                got += 1
+                if got == n_yields:
+                    break
+        finally:
+            await agen.aclose()
+        return got
+
+    engine._chunk_audio_fn = counting
+    try:
+        assert asyncio.run(consume(1)) == 1
+        # initial depth-1 speculation only; the post-first-yield refill must
+        # NOT have run (GeneratorExit lands at the yield point)
+        assert calls == 1, calls
+        assert asyncio.run(consume(3)) == 3
+        # 1 initial + 1 post-first-yield refill + 2 pre-read refills; the
+        # chunks consumed at yields 2 and 3 leave 2 unread in flight
+        assert calls == 4, calls
+    finally:
+        engine._chunk_audio_fn = real
+
+
 def test_closed_signature_set_across_text_lengths(engine):
     """The engine's jit-signature set is CLOSED after initialize():
     streaming texts of any length within one trailing bucket triggers ZERO

@@ -294,6 +294,10 @@ def validate_cp_quant(args):
         from qwen_tts_tpu.core.weights import quantize_decoder_weights_int4
 
         qdec = quantize_decoder_weights_int4(w.decoder, group_size=args.group)
+    elif args.backend == "cp-mixed":
+        from qwen_tts_tpu.core.weights import quantize_decoder_weights_mixed
+
+        qdec = quantize_decoder_weights_mixed(w.decoder, group_size=args.group)
     else:
         qdec = quantize_decoder_weights(w.decoder)
 
@@ -370,12 +374,12 @@ def main():
     p.add_argument("--backend", default="mega",
                    choices=["mega", "megagen-int8", "megagen-int8g",
                             "megagen-int4", "megagen-mixed",
-                            "cp-int8", "cp-int4", "all-quant"],
+                            "cp-int8", "cp-int4", "cp-mixed", "all-quant"],
                    help="mega = bf16 kernel vs oracle (reference cases); "
                         "quantized backends run the coupled comparison; "
-                        "cp-int8 validates the quantized code-predictor path; "
-                        "all-quant runs int8/int4 × bf16-kv/int8-kv in ONE "
-                        "process sharing a single oracle trajectory")
+                        "cp-* validates the quantized code-predictor path; "
+                        "all-quant runs int8/mixed/int4 × bf16-kv/int8-kv in "
+                        "ONE process sharing a single oracle trajectory")
     p.add_argument("--reference-only", action="store_true",
                    help="run only the oracle (no Pallas), as a smoke test")
     p.add_argument("--free-run", action="store_true",
@@ -390,7 +394,8 @@ def main():
             args.steps = 512
         validate_free_run(args)
         return
-    if args.backend in ("cp-int8", "cp-int4") and not args.reference_only:
+    if (args.backend in ("cp-int8", "cp-int4", "cp-mixed")
+            and not args.reference_only):
         if args.steps < 128:
             args.steps = 128     # quantized acceptance needs >=128 comparisons
         validate_cp_quant(args)
