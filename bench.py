@@ -201,9 +201,11 @@ def bench_engine(args):
     async def stream_all(text):
         t0 = time.perf_counter()
         total = 0
+        arrivals = []
         async for audio, _sr in eng.synthesize_streaming(text):
+            arrivals.append(time.perf_counter() - t0)
             total += len(audio)
-        return time.perf_counter() - t0, total
+        return (arrivals[-1] if arrivals else 0.0), total, arrivals
 
     from qwen_tts_tpu.utils.timing import drain_device
 
@@ -241,13 +243,25 @@ def bench_engine(args):
     emit("rtf_nonstreaming", rtf_ns, "ratio", 0.177 / rtf_ns)
 
     asyncio.run(stream_all(longer))  # warm
-    best_s, samples = float("inf"), 0
+    best_s, samples, best_arrivals = float("inf"), 0, []
     for _ in range(args.runs):
-        wall, total = asyncio.run(stream_all(longer))
+        wall, total, arrivals = asyncio.run(stream_all(longer))
         if wall < best_s:
-            best_s, samples = wall, total
+            best_s, samples, best_arrivals = wall, total, arrivals
     rtf_s = best_s / (samples / eng.sample_rate)
     emit("rtf_streaming", rtf_s, "ratio", 0.234 / rtf_s)
+    # steady-state inter-chunk wall (skip TTFC + the terminal partial):
+    # the depth-2 pipeline probe — should sit at ~chunk compute, with the
+    # readback RTT hidden under the next chunk's compute. vs_baseline =
+    # ×-realtime of steady chunk production (0.8 s audio per 10-frame chunk)
+    gaps = sorted(b - a for a, b in zip(best_arrivals[1:-1],
+                                        best_arrivals[2:]))
+    if gaps:
+        wall_ms = gaps[len(gaps) // 2] * 1000
+        chunk_audio_ms = (eng.config.chunk_frames
+                          * eng.vocoder_config.hop_length
+                          / eng.sample_rate * 1000)
+        emit("stream_chunk_wall_ms", wall_ms, "ms", chunk_audio_ms / wall_ms)
 
 
 def main():

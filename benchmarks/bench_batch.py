@@ -57,11 +57,12 @@ def main():
         from qwen_tts_tpu.core.weights import (
             quantize_decoder_weights,
             quantize_decoder_weights_int4,
+            quantize_decoder_weights_mixed,
         )
 
-        qt = (quantize_decoder_weights_int4(w.talker)
-              if args.quantize == "int4"
-              else quantize_decoder_weights(w.talker))
+        qt = {"int4": quantize_decoder_weights_int4,
+              "mixed": quantize_decoder_weights_mixed,
+              "int8": quantize_decoder_weights}[args.quantize](w.talker)
         qcp = quantize_decoder_weights(w.code_predictor.decoder,
                                        quant_head=False)
         w = w._replace(talker=qt,

@@ -156,12 +156,12 @@ def test_engine_synthesize_batch():
 def test_engine_synthesize_batch_quantized():
     """Batched serving composes with the quantized serving path: the
     vmapped dense path dequantizes layer slabs on the fly (the same
-    quant-aware forward_chunk the single-stream prefill uses), so int8
-    and int4 engines serve B>1 with one weight copy."""
+    quant-aware forward_chunk the single-stream prefill uses), so int8,
+    int4, and mixed engines serve B>1 with one weight copy."""
     from qwen_tts_tpu.engine.tts_engine import TTSConfig, TTSEngine
 
     texts = ["hello quantized batch", "a second, rather longer utterance"]
-    for qmode in ("int8", "int4"):
+    for qmode in ("int8", "int4", "mixed"):
         eng = TTSEngine(TTSConfig(max_seq_len=256, chunk_frames=4, seed=0,
                                   backend="dense", quantize=qmode),
                         model_config=tiny_test_config(max_seq_len=256))
