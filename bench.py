@@ -79,35 +79,49 @@ def device_up_or_retry(budget: float) -> float | None:
 
     Round 3 died on the first `jax.devices()` touch (BENCH_r03.json rc=1,
     zero metric lines) when the TPU tunnel went down — indistinguishable
-    from a broken bench. This bounds retries to ~1/3 of --budget, emits a
-    `tunnel_down` diagnostic JSON line per failed attempt, and returns the
-    measured RTT (ms) on success or None when the cap is exhausted. Each
-    probe runs in a SUBPROCESS: a dead tunnel can hang a device touch for
-    >10 min (observed during the 2026-08-17 outage), so an in-process call
-    could blow the whole budget on attempt 1.
+    from a broken bench. The probe runs in a SUBPROCESS: a dead tunnel can
+    hang a device touch for >10 min (observed during the 2026-08-17
+    outage), so an in-process call could hang the whole bench.
+
+    CRUCIALLY (round-4 rehearsal failure): the first device touch after a
+    previous TPU process exits stalls MINUTES on tunnel re-init (measured
+    77 s – ~5 min) — normal weather, not an outage, and exactly the state
+    the driver's round-end run starts from. Kill-and-retry is wrong for
+    that regime: each fresh probe restarts init from scratch and never
+    accumulates progress. So: ONE patient probe, polled in short slices,
+    a `tunnel_probe_wait` evidence line each minute, patience sized to the
+    re-init envelope (8 min) independent of --budget — a late headline
+    beats a null round; the budget gate only skips optional phases. A
+    probe that EXITS (crash, not hang) is retried with backoff.
     """
     import subprocess
 
-    cap = max(60.0, budget / 3.0)
-    attempt = 0
-    while True:
-        attempt += 1
-        probe_timeout = min(120.0, max(30.0, cap - elapsed()))
+    patience = 480.0
+    code = ("import jax, jax.numpy as jnp, numpy as np;"
+            "np.asarray(jnp.zeros((8,128))+1.0);print('UP')")
+    last_note = 0.0
+    proc = None
+    while elapsed() < patience:
+        if proc is None:
+            proc = subprocess.Popen(
+                [sys.executable, "-c", code], text=True,
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
         try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp, numpy as np;"
-                 "np.asarray(jnp.zeros((8,128))+1.0);print('UP')"],
-                capture_output=True, text=True, timeout=probe_timeout)
-            ok = r.returncode == 0 and "UP" in r.stdout
+            out, _ = proc.communicate(timeout=15.0)
         except subprocess.TimeoutExpired:
-            ok = False
-        if ok:
+            if elapsed() - last_note >= 60.0:   # heartbeat: evidence that
+                last_note = elapsed()           # the bench is alive+waiting
+                emit("tunnel_probe_wait", round(elapsed(), 1), "s", 0.0)
+            continue
+        if proc.returncode == 0 and "UP" in (out or ""):
             return measure_rtt()   # in-process: tunnel is live now
-        emit("tunnel_down", float(attempt), "attempts", 0.0)
-        if elapsed() + 30.0 > cap:
-            return None
-        time.sleep(min(30.0, cap - elapsed()))
+        proc = None                # probe crashed (didn't hang): back off
+        emit("tunnel_down", 1.0, "attempts", 0.0)
+        time.sleep(min(20.0, max(0.0, patience - elapsed())))
+    if proc is not None:
+        proc.kill()
+    emit("tunnel_down", -1.0, "attempts", 0.0)
+    return None
 
 
 _SUFFIX = {"megagen-int8": "_int8_weights",
