@@ -1,0 +1,312 @@
+"""Continuous batching: dynamic request admission into fixed batch slots.
+
+A TPU-first production-serving extension (the reference is strictly
+batch-1 — SURVEY.md §2.3, reference model_tts.py:236 — and the repo's
+`synthesize_batch` is static: all B utterances must arrive together and
+the batch runs until the LAST one finishes). Real serving traffic is
+staggered; with static batching a slot that finishes early idles until
+the batch drains. Here the batch is a set of B persistent SLOTS over the
+vmapped frame path (`runtime/batch.py`):
+
+- every chunk dispatch decodes `chunk_frames` frames for ALL slots in one
+  jitted call (`batched_frames` — the same closed signature every time),
+- a request joins at any chunk boundary: ONE fixed-shape jitted admission
+  dispatch (text projection + conditioning prefix + prefill + CODEC_BOS
+  step from a `text_bucket`-padded id buffer — the same in-dispatch
+  construction as the engine's fused TTFC path) plus a donated
+  `dynamic_update_index_in_dim` insert of its rows (KV cache, token,
+  hidden, trailing text, rng) into a free slot,
+- a request leaves the moment its EOS lands (or its frame cap is hit);
+  the slot is immediately re-admissible while the other slots keep
+  streaming.
+
+XLA sees exactly three signatures (B=1 prefill, slot insert, B-slot
+chunk) regardless of traffic, so there is never a mid-serving compile —
+the same closed-signature contract the single-stream engine keeps
+(docs/07-operations.md).
+
+Static shapes make the classic continuous-batching hazards explicit:
+a parked (idle) slot still rides through the vmapped dispatch, its
+position advancing chunk by chunk toward `max_seq_len`; slots are
+re-parked with a fresh zero state before the cache index could reach the
+ring boundary (`_maybe_repark`).
+
+Per-request audio decode reuses the engine's bucketed vocoder path
+(`_decode_to_audio`), so the jitted vocoder also never sees a new shape.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from collections import deque
+from dataclasses import dataclass, field
+from functools import partial
+from typing import AsyncGenerator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.decoder import init_state
+from .batch import batched_frames
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _insert_slot(batch, one, slot: jax.Array):
+    """Write one utterance's rows into slot `slot` of each batch tensor.
+
+    `batch` and `one` are matching pytrees whose leaves carry a leading
+    batch axis (B for `batch`, 1 for `one`). Donated: the KV cache is the
+    dominant buffer and admission must not copy it."""
+    return jax.tree.map(
+        lambda b, s: jax.lax.dynamic_update_index_in_dim(
+            b, s[0].astype(b.dtype), slot, 0),
+        batch, one)
+
+
+@dataclass
+class _Request:
+    text: str
+    cap: int
+    queue: asyncio.Queue = field(default_factory=asyncio.Queue)
+    emitted: int = 0
+    cancelled: bool = False
+
+
+class ContinuousBatcher:
+    """Schedules staggered TTS requests onto B persistent batch slots.
+
+    Usage (any number of concurrent callers)::
+
+        batcher = ContinuousBatcher(engine, slots=4)
+        async for audio, sr in batcher.submit(text):
+            ...
+
+    The dispatch loop starts lazily with the first request and parks when
+    the last one drains. `chunk_frames` is the scheduling quantum: a new
+    request waits at most one in-flight chunk before its prefill, and its
+    first audio arrives after its first chunk of frames.
+    """
+
+    def __init__(self, engine, slots: int = 4,
+                 chunk_frames: Optional[int] = None,
+                 text_bucket: Optional[int] = None):
+        engine.initialize()
+        self.eng = engine
+        self.slots = slots
+        self.chunk = chunk_frames or engine.config.chunk_frames
+        self.text_bucket = text_bucket or engine.config.trailing_bucket
+        cfg = engine.model_config.talker
+        self._cfg = cfg
+        self._cp_cfg = engine.model_config.code_predictor
+        B, H = slots, cfg.hidden_size
+
+        one = init_state(cfg, engine._kv_dtype)
+        self._state = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), one)
+        self._tok = jnp.zeros((B,), jnp.int32)
+        self._hid = jnp.zeros((B, H), jnp.float32)
+        self._trail = jnp.zeros((B, self.text_bucket, H), jnp.bfloat16)
+        self._tlen = jnp.zeros((B,), jnp.int32)
+        self._tidx0 = jnp.zeros((B,), jnp.int32)
+        self._rngs = jnp.stack([jax.random.PRNGKey(0)] * B)
+
+        self._reqs: list[Optional[_Request]] = [None] * B
+        self._pos = [0] * B          # host mirror of each slot's cache position
+        self._pending: deque[_Request] = deque()
+        self._task: Optional[asyncio.Task] = None
+        # prebuilt parked rows: fresh zero state, empty text (tlen 0 feeds
+        # the pad embedding every frame), position 0
+        self._parked = (
+            jax.tree.map(lambda x: x[None], one),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, H), jnp.float32),
+            jnp.zeros((1, self.text_bucket, H), jnp.bfloat16),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+            jax.random.PRNGKey(0)[None])
+        self._build_admit_fn()
+
+    def _build_admit_fn(self):
+        """ONE fixed-shape jitted dispatch per admission: text projection +
+        conditioning prefix + trailing construction + prefill + CODEC_BOS
+        step, from a `text_bucket`-padded token-id buffer — the batched
+        analog of the engine's fused TTFC build (`_build_fused_fns`
+        first_fn), so admission never compiles on a new text length and
+        pays one round trip, not one per eager op."""
+        from ..core.config import CODEC_BOS
+        from ..models.decoder import decode_step_with_embed, forward_chunk
+        from ..models.text_projection import embed_text_ids
+
+        eng, cfg = self.eng, self._cfg
+        kv_dtype = eng._kv_dtype
+        md = eng._mrope_deltas
+
+        def admit_fn(tw, tp_w, role_embeds, fused_tags, codec_bos_embed,
+                     tts_eos, content_ids, n_content):
+            content_embeds = embed_text_ids(tp_w, content_ids)  # [Tpad, H]
+            first_text_bos = content_embeds[:1] + codec_bos_embed[None]
+            prefill_embeds = jnp.concatenate(
+                [role_embeds, fused_tags, first_text_bos])      # [8, H]
+            # trailing[i] = content[i+1] for i < n-6; tts_eos at i == n-6
+            # (clamped to 0 for degenerate inputs) — mirrors both
+            # _build_prefill and the fused first_fn
+            idx = jnp.arange(content_ids.shape[0])[:, None]
+            shifted = jnp.roll(content_embeds, -1, axis=0)
+            eos_pos = jnp.maximum(n_content - 6, 0)
+            trailing = jnp.where(
+                idx < eos_pos, shifted,
+                jnp.where(idx == eos_pos, tts_eos[None],
+                          jnp.zeros_like(shifted)))
+            t_len = jnp.maximum(n_content - 5, 1).astype(jnp.int32)
+
+            state = init_state(cfg, kv_dtype)
+            mp = None if md is None else state.position + md
+            state, _ = forward_chunk(cfg, tw, state, prefill_embeds,
+                                     mrope_pos=mp)
+            mp = None if md is None else state.position + md
+            state, tok, hid = decode_step_with_embed(
+                cfg, tw, state, tw.embed[CODEC_BOS], mrope_pos=mp)
+            one = (state, tok, hid, trailing.astype(jnp.bfloat16), t_len,
+                   jnp.int32(0))
+            return jax.tree.map(lambda x: x[None], one)
+
+        jitted = jax.jit(admit_fn)
+
+        def call(content_ids, n_content):
+            return jitted(eng.weights.talker, eng.weights.text_projection,
+                          eng._role_embeds, eng._fused_tags,
+                          eng._codec_bos_embed, eng._tts_eos_embed,
+                          content_ids, n_content)
+
+        self._admit_fn = call
+
+    # ── public API ───────────────────────────────────────────────────────
+
+    async def submit(
+        self, text: str,
+    ) -> AsyncGenerator[tuple[np.ndarray, int], None]:
+        """Queue a request; yield its audio chunks as they are produced."""
+        req = _Request(text=text, cap=self._frame_cap(text))
+        self._pending.append(req)
+        if self._task is None or self._task.done():
+            self._task = asyncio.get_running_loop().create_task(self._run())
+        try:
+            while True:
+                audio = await req.queue.get()
+                if audio is None:
+                    return
+                yield audio, self.eng.sample_rate
+        finally:
+            req.cancelled = True   # early aclose: free the slot next chunk
+
+    def serve(self, texts: list[str]) -> list[tuple[np.ndarray, int]]:
+        """Synchronous convenience: serve all texts (staggered admission as
+        slots free up), return concatenated audio per text in order."""
+        async def gather():
+            async def one(text):
+                parts = [a async for a, _sr in self.submit(text)]
+                return (np.concatenate(parts) if parts
+                        else np.array([], np.float32))
+            return await asyncio.gather(*[one(t) for t in texts])
+
+        waves = asyncio.run(gather())
+        return [(w, self.eng.sample_rate) for w in waves]
+
+    @property
+    def active(self) -> int:
+        return sum(r is not None for r in self._reqs)
+
+    # ── scheduling loop ──────────────────────────────────────────────────
+
+    async def _run(self):
+        while self._pending or self.active:
+            self._admit_pending()
+            if self.active:
+                self._dispatch_chunk()
+            await asyncio.sleep(0)
+
+    def _frame_cap(self, text: str) -> int:
+        # same duration heuristic as synthesize_batch: ~2.5 words/s of
+        # speech at 12.5 frames/s, 2x headroom, floor of 2 s
+        words = max(len(text.split()), 1)
+        return min(max(int(words / 2.5 * 12.5 * 2.0), 25),
+                   self.eng.config.max_new_tokens)
+
+    def _admit_pending(self):
+        while self._pending:
+            # drop requests whose consumer went away before admission
+            if self._pending[0].cancelled:
+                self._pending.popleft()
+                continue
+            try:
+                slot = self._reqs.index(None)
+            except ValueError:
+                return
+            req = self._pending.popleft()
+            self._admit(req, slot)
+
+    def _admit(self, req: _Request, slot: int):
+        eng = self.eng
+        from ..engine.tokenizer import encode_tts_prompt
+
+        # host tokenization only; ids are bucket-padded so the admission
+        # dispatch has ONE signature, and uploaded in one device_put
+        text_ids = encode_tts_prompt(eng.tokenizer, req.text)
+        content = np.asarray(text_ids[3:], dtype=np.int32)[: self.text_bucket]
+        ids = np.zeros(self.text_bucket, dtype=np.int32)
+        ids[: len(content)] = content
+        eng._rng, req_rng = jax.random.split(eng._rng)
+        ids_dev, n_dev = jax.device_put((ids, np.int32(len(content))))
+        state1, tok1, hid1, tr1, tlen1, tidx1 = self._admit_fn(ids_dev, n_dev)
+        self._insert(slot, (state1, tok1, hid1, tr1, tlen1, tidx1,
+                            req_rng[None]))
+        self._reqs[slot] = req
+        self._pos[slot] = 9    # 8 prefill positions + the CODEC_BOS step
+
+    def _insert(self, slot: int, one):
+        batch = (self._state, self._tok, self._hid, self._trail,
+                 self._tlen, self._tidx0, self._rngs)
+        (self._state, self._tok, self._hid, self._trail, self._tlen,
+         self._tidx0, self._rngs) = _insert_slot(batch, one,
+                                                 jnp.int32(slot))
+
+    def _maybe_repark(self, slot: int):
+        """Idle slots keep riding the vmapped dispatch and their position
+        keeps advancing; refresh with a zero state before the cache index
+        could reach the ring boundary."""
+        if self._pos[slot] + 2 * self.chunk + 16 >= self._cfg.max_seq_len:
+            self._insert(slot, self._parked)
+            self._pos[slot] = 0
+
+    def _dispatch_chunk(self):
+        eng, cfg = self.eng, self.eng.config
+        (self._state, codes, valid, self._tok, self._hid) = batched_frames(
+            self._cfg, self._cp_cfg, eng.weights.talker,
+            eng.weights.code_predictor, self._state, self._tok, self._hid,
+            self._trail, self._tlen, self._tidx0, eng._tts_pad_embed,
+            self._rngs, num_frames=self.chunk,
+            do_sample=cfg.subtalker_do_sample,
+            temperature=cfg.subtalker_temperature,
+            top_k=cfg.subtalker_top_k,
+            mrope_deltas=eng._mrope_deltas)
+        self._tidx0 = self._tidx0 + self.chunk
+        codes_np, valid_np = jax.device_get((codes, valid))
+
+        for b in range(self.slots):
+            self._pos[b] += self.chunk
+            req = self._reqs[b]
+            if req is None:
+                self._maybe_repark(b)
+                continue
+            n_valid = int(valid_np[b].sum())
+            take = min(n_valid, req.cap - req.emitted)
+            done = req.cancelled or n_valid < self.chunk \
+                or req.emitted + take >= req.cap
+            if take > 0 and not req.cancelled:
+                frames = [codes_np[b, i] for i in range(take)]
+                audio, _sr = eng._decode_to_audio(frames)
+                req.queue.put_nowait(audio)
+                req.emitted += take
+            if done:
+                req.queue.put_nowait(None)
+                self._reqs[b] = None
+                self._maybe_repark(b)
