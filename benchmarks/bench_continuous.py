@@ -54,9 +54,13 @@ def main():
     from qwen_tts_tpu.runtime.continuous import ContinuousBatcher
 
     quant = False if args.quantize == "off" else args.quantize
+    # warmup=False: the batcher warms its OWN three signatures below; the
+    # engine's single-stream warmup compiles (first_fn + chunk fn on the
+    # dense path) are minutes of wasted init on the TPU for quantized tiers
     eng = TTSEngine(TTSConfig(max_seq_len=args.max_seq, backend="dense",
                               chunk_frames=args.chunk_frames,
-                              quantize=quant, kv_cache=args.kv_cache))
+                              quantize=quant, kv_cache=args.kv_cache,
+                              warmup=False))
     t0 = time.perf_counter()
     eng.initialize()
     print(f"engine init {time.perf_counter() - t0:.1f}s "

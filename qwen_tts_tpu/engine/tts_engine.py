@@ -108,6 +108,12 @@ class TTSConfig:
     trailing_bucket: int = 384
     backend: str = "auto"                 # auto | dense | pallas | mega
     fused_chunks: bool = True             # one dispatch per audio chunk
+    # Skip the single-stream warmup compiles at initialize(). For hosts
+    # that only use the engine's weights/vocoder/tokenizer — e.g. the
+    # continuous batcher, which warms its OWN three signatures — the
+    # single-stream first_fn/chunk_fn compiles are pure wasted init time
+    # (minutes each on the TPU for quantized dense configs).
+    warmup: bool = True
     # Weight-only quantization for the WHOLE serving path — decode steps,
     # code-predictor steps, AND the T>1 prefills (quant-aware dense path
     # dequantizes one layer slab at a time), so quantize mode keeps exactly
@@ -272,7 +278,8 @@ class TTSEngine:
         self._cp_step_w = None   # CP decoder itself is quantized now
 
         self._build_fused_fns()
-        self._warmup()
+        if cfg.warmup:
+            self._warmup()
         self._initialized = True
 
     def _build_fused_fns(self):

@@ -8,8 +8,14 @@ staggered; with static batching a slot that finishes early idles until
 the batch drains. Here the batch is a set of B persistent SLOTS over the
 vmapped frame path (`runtime/batch.py`):
 
-- every chunk dispatch decodes `chunk_frames` frames for ALL slots in one
-  jitted call (`batched_frames` — the same closed signature every time),
+- every chunk dispatch decodes `chunk_frames` frames AND their audio for
+  ALL slots in one jitted call (vmapped `frames_chunk` + vocoder, fused —
+  the same closed signature every time; per-slot host vocoder calls would
+  pay up to B extra round trips per chunk),
+- the dispatch loop runs DEPTH-2: chunk k+1 is enqueued before chunk k's
+  results are read back, so the host round trip and per-request emit are
+  hidden under device compute (the batched analog of the single-stream
+  engine's speculative streaming pipeline — docs/04),
 - a request joins at any chunk boundary: ONE fixed-shape jitted admission
   dispatch (text projection + conditioning prefix + prefill + CODEC_BOS
   step from a `text_bucket`-padded id buffer — the same in-dispatch
@@ -71,6 +77,10 @@ class _Request:
     queue: asyncio.Queue = field(default_factory=asyncio.Queue)
     emitted: int = 0
     cancelled: bool = False
+    # first chunk-dispatch sequence number that contains this request's
+    # state — results from earlier (speculative) dispatches of the same
+    # slot belong to its previous occupant and must be dropped
+    first_seq: int = 0
 
 
 class ContinuousBatcher:
@@ -113,6 +123,7 @@ class ContinuousBatcher:
 
         self._reqs: list[Optional[_Request]] = [None] * B
         self._pos = [0] * B          # host mirror of each slot's cache position
+        self._seq = 0                # chunk-dispatch sequence number
         self._pending: deque[_Request] = deque()
         self._task: Optional[asyncio.Task] = None
         # prebuilt parked rows: fresh zero state, empty text (tlen 0 feeds
@@ -124,6 +135,7 @@ class ContinuousBatcher:
             jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
             jax.random.PRNGKey(0)[None])
         self._build_admit_fn()
+        self._build_chunk_fn()
 
     def _build_admit_fn(self):
         """ONE fixed-shape jitted dispatch per admission: text projection +
@@ -179,6 +191,45 @@ class ContinuousBatcher:
 
         self._admit_fn = call
 
+    def _build_chunk_fn(self):
+        """ONE jitted dispatch per chunk for ALL slots: vmapped frames +
+        per-slot vocoder, fused. The previous design read codes back and
+        ran `_decode_to_audio` per active slot — up to B extra host round
+        trips per chunk. The code2wav backend needs left-context chunk
+        decode (stateful across chunks), so it keeps the host path."""
+        eng, mc = self.eng, self.eng.model_config
+        cfg = eng.config
+        self._fused_audio = eng._voc_kind != "code2wav"
+        voc = eng._voc_frames_decode
+        has_vocoder = eng.vocoder_weights is not None
+        hop = eng.vocoder_config.hop_length
+        md = eng._mrope_deltas
+        chunk = self.chunk
+
+        def fn(tw, cw, vw, pad, state, tok, hid, trailing, tlen, tidx0,
+               rngs):
+            state, codes, valid, tok, hid = batched_frames(
+                mc.talker, mc.code_predictor, tw, cw, state, tok, hid,
+                trailing, tlen, tidx0, pad, rngs, num_frames=chunk,
+                do_sample=cfg.subtalker_do_sample,
+                temperature=cfg.subtalker_temperature,
+                top_k=cfg.subtalker_top_k, mrope_deltas=md)
+            if self._fused_audio and has_vocoder:
+                audio = jax.vmap(lambda c: voc(vw, c))(codes)
+            else:
+                audio = jnp.zeros((codes.shape[0], chunk * hop), jnp.float32)
+            return state, codes, valid, tok, hid, audio
+
+        jitted = jax.jit(fn, donate_argnames=("state",))
+
+        def call():
+            return jitted(eng.weights.talker, eng.weights.code_predictor,
+                          eng.vocoder_weights, eng._tts_pad_embed,
+                          self._state, self._tok, self._hid, self._trail,
+                          self._tlen, self._tidx0, self._rngs)
+
+        self._chunk_fn = call
+
     # ── public API ───────────────────────────────────────────────────────
 
     async def submit(
@@ -218,10 +269,21 @@ class ContinuousBatcher:
     # ── scheduling loop ──────────────────────────────────────────────────
 
     async def _run(self):
-        while self._pending or self.active:
+        """Depth-2 dispatch loop: chunk k+1 is enqueued (and admissions
+        inserted into its OUTPUT state) before chunk k's results are read,
+        so readback + per-request emit overlap device compute. A request
+        finishing in chunk k decodes one speculative chunk before its slot
+        frees — the same ≤1-chunk speculation budget as the single-stream
+        engine's streaming pipeline."""
+        inflight = None
+        while True:
             self._admit_pending()
-            if self.active:
-                self._dispatch_chunk()
+            new = self._dispatch() if self.active else None
+            if inflight is not None:
+                self._collect(inflight)
+            inflight = new
+            if inflight is None and not self._pending and not self.active:
+                return
             await asyncio.sleep(0)
 
     def _frame_cap(self, text: str) -> int:
@@ -260,6 +322,7 @@ class ContinuousBatcher:
         self._insert(slot, (state1, tok1, hid1, tr1, tlen1, tidx1,
                             req_rng[None]))
         self._reqs[slot] = req
+        req.first_seq = self._seq + 1   # present from the NEXT dispatch on
         self._pos[slot] = 9    # 8 prefill positions + the CODEC_BOS step
 
     def _insert(self, slot: int, one):
@@ -277,34 +340,48 @@ class ContinuousBatcher:
             self._insert(slot, self._parked)
             self._pos[slot] = 0
 
-    def _dispatch_chunk(self):
-        eng, cfg = self.eng, self.eng.config
-        (self._state, codes, valid, self._tok, self._hid) = batched_frames(
-            self._cfg, self._cp_cfg, eng.weights.talker,
-            eng.weights.code_predictor, self._state, self._tok, self._hid,
-            self._trail, self._tlen, self._tidx0, eng._tts_pad_embed,
-            self._rngs, num_frames=self.chunk,
-            do_sample=cfg.subtalker_do_sample,
-            temperature=cfg.subtalker_temperature,
-            top_k=cfg.subtalker_top_k,
-            mrope_deltas=eng._mrope_deltas)
+    def _dispatch(self):
+        """Enqueue one fused chunk for all slots; results are device
+        futures — nothing is read back here. Host mirrors (positions,
+        trailing cursor, sequence number) advance at dispatch time so
+        admissions and repark decisions see the device's true state."""
+        (self._state, codes, valid, self._tok, self._hid,
+         audio) = self._chunk_fn()
         self._tidx0 = self._tidx0 + self.chunk
-        codes_np, valid_np = jax.device_get((codes, valid))
-
         for b in range(self.slots):
             self._pos[b] += self.chunk
+        self._seq += 1
+        return self._seq, codes, valid, audio
+
+    def _collect(self, inflight):
+        """Read one dispatched chunk back and emit per-request audio."""
+        eng = self.eng
+        seq, codes, valid, audio = inflight
+        hop = eng.vocoder_config.hop_length
+        if self._fused_audio:
+            valid_np, audio_np = jax.device_get((valid, audio))
+            codes_np = None
+        else:
+            codes_np, valid_np = jax.device_get((codes, valid))
+
+        for b in range(self.slots):
             req = self._reqs[b]
             if req is None:
                 self._maybe_repark(b)
                 continue
+            if req.first_seq > seq:
+                continue   # speculative chunk of this slot's PREVIOUS owner
             n_valid = int(valid_np[b].sum())
             take = min(n_valid, req.cap - req.emitted)
             done = req.cancelled or n_valid < self.chunk \
                 or req.emitted + take >= req.cap
             if take > 0 and not req.cancelled:
-                frames = [codes_np[b, i] for i in range(take)]
-                audio, _sr = eng._decode_to_audio(frames)
-                req.queue.put_nowait(audio)
+                if self._fused_audio:
+                    wav = np.asarray(audio_np[b, : take * hop], np.float32)
+                else:
+                    frames = [codes_np[b, i] for i in range(take)]
+                    wav, _sr = eng._decode_to_audio(frames)
+                req.queue.put_nowait(wav)
                 req.emitted += take
             if done:
                 req.queue.put_nowait(None)

@@ -133,6 +133,39 @@ def test_closed_signature_set(eng):
     assert not compiled, f"mid-serving compiles: {compiled}"
 
 
+def test_speculation_budget_and_owner_isolation(eng):
+    """Depth-2 pipelining: a single request costs at most
+    ceil(frames/chunk) + 1 chunk dispatches (one speculative chunk at
+    drain), and a request admitted into a just-freed slot never receives
+    the previous occupant's speculative frames (first_seq guard) — its
+    audio is identical to a solo run."""
+    b = ContinuousBatcher(eng, slots=1, chunk_frames=4)
+    calls = {"n": 0}
+    orig = b._chunk_fn
+
+    def counting():
+        calls["n"] += 1
+        return orig()
+
+    b._chunk_fn = counting
+    (wav, _), = b.serve(["hi"])
+    hop = eng.vocoder_config.hop_length
+    n_chunks = -(-len(wav) // (hop * b.chunk))
+    assert calls["n"] <= n_chunks + 1, \
+        f"{calls['n']} dispatches for {n_chunks} chunks of audio"
+
+    # back-to-back reuse of the single slot: the second request's audio
+    # must match a fresh batcher serving it alone with the same rng state
+    eng2 = make_engine()
+    b2 = ContinuousBatcher(eng2, slots=1, chunk_frames=4)
+    served = b2.serve(["first occupant speaks", "second occupant text"])
+    eng3 = make_engine()
+    eng3._rng, _ = jax.random.split(eng3._rng)  # consume occupant 1's split
+    b3 = ContinuousBatcher(eng3, slots=1, chunk_frames=4)
+    solo = b3.serve(["second occupant text"])
+    np.testing.assert_array_equal(served[1][0], solo[0][0])
+
+
 def test_repark_before_ring_boundary(eng):
     """An idle slot's position mirror is refreshed before it can reach
     max_seq_len (the static-shape hazard the docstring calls out)."""
