@@ -137,5 +137,100 @@ class TPUMegakernelTTSService(TTSService):
                 yield TTSStoppedFrame()
 
 
+from .shared import SharedBatcher as _SharedBatcher  # noqa: E402
+
+
+class TPUContinuousTTSService(TTSService):
+    """Multi-client TTS: N pipecat pipelines share ONE TPU via the
+    continuous batcher (`runtime/continuous.py`).
+
+    The single-stream `TPUMegakernelTTSService` owns its engine, so two
+    live pipelines on one chip would contend (the TPU is single-tenant —
+    concurrent dispatch streams serialize). This service instead submits
+    every `run_tts` to a shared `ContinuousBatcher`: concurrent clients
+    are admitted into fixed batch slots at chunk boundaries and decoded
+    by one fused dispatch per chunk, so K clients cost one batched stream,
+    not K serialized ones. Frame protocol is identical to the
+    single-stream service (reference: pipecat_tts.py:87-132).
+
+    Sharing: construct the first instance with `config=`/`slots=`, then
+    pass `share=first_service` (or the same `batcher=`) to siblings. All
+    sharing instances must run on the same asyncio event loop — the
+    batcher's dispatch task lives on the loop of the first `run_tts`.
+
+    No reference counterpart (the reference is strictly one stream per
+    service) — a TPU-first serving extension.
+    """
+
+    def __init__(
+        self,
+        *,
+        batcher=None,             # prebuilt ContinuousBatcher (engine ready)
+        share: "Optional[TPUContinuousTTSService]" = None,  # sibling service
+        config: Optional[TTSConfig] = None,
+        slots: int = 4,
+        sample_rate: int = 24000,
+        chunk_frames: int = 10,
+        model_config=None,
+        warm: bool = True,
+        **kwargs,
+    ):
+        super().__init__(sample_rate=sample_rate, **kwargs)
+        if not PIPECAT_AVAILABLE:
+            logger.warning(
+                "pipecat-ai is not installed: %s is running against the "
+                "protocol stand-ins in serving/_frames.py — `pip install "
+                "pipecat-ai` for live pipeline use.", type(self).__name__)
+        if share is not None:
+            self._shared = share._shared
+        elif batcher is not None:
+            self._shared = _SharedBatcher(batcher=batcher)
+        else:
+            cfg = config or TTSConfig()
+            cfg.sample_rate = sample_rate
+            cfg.chunk_frames = chunk_frames
+            cfg.warmup = False   # the batcher warms its own signatures
+            self._shared = _SharedBatcher(
+                config=cfg, slots=slots, chunk_frames=chunk_frames,
+                model_config=model_config, warm=warm)
+
+    def can_generate_metrics(self) -> bool:
+        return True
+
+    async def run_tts(self, text: str, context_id: Optional[str] = None
+                      ) -> AsyncGenerator[Frame, None]:
+        logger.debug(f"Generating TTS (continuous): [{text}]")
+        closing = False
+        try:
+            await self.start_ttfb_metrics()
+            await self.start_tts_usage_metrics(text)
+            yield TTSStartedFrame()
+
+            batcher = await self._shared.get()
+            first = True
+            async for audio, sr in batcher.submit(text):
+                if first:
+                    await self.stop_ttfb_metrics()
+                    first = False
+                yield TTSAudioRawFrame(
+                    audio=float32_to_pcm16(audio),
+                    sample_rate=sr,
+                    num_channels=1,
+                )
+        except GeneratorExit:
+            # client hang-up mid-stream: submit()'s finally marks the
+            # request cancelled and its slot frees at the next chunk
+            # boundary; no Stopped frame (see single-stream note above)
+            closing = True
+            raise
+        except Exception as e:  # noqa: BLE001
+            logger.exception("TTS generation failed")
+            yield ErrorFrame(error=f"TTS error: {e}")
+        finally:
+            await self.stop_ttfb_metrics()
+            if not closing:
+                yield TTSStoppedFrame()
+
+
 # Reference-name alias
 MegakernelTTSService = TPUMegakernelTTSService

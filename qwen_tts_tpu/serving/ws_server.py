@@ -1,0 +1,217 @@
+"""Live WebSocket TTS server over the continuous batcher.
+
+The reference's only live serving surface is a Pipecat `TTSService`
+(reference: pipecat_tts.py:33-139) — one stream per process, and the
+pipecat-ai package is not installable in this image. This module is the
+TPU-first equivalent that CAN run live here: a `websockets`-based server
+where every connection submits into ONE shared `ContinuousBatcher`
+(runtime/continuous.py), so K concurrent clients cost one batched stream
+on the single-tenant TPU instead of K serialized engines.
+
+Wire protocol (one in-flight request per connection):
+
+  client → server (text frame, JSON):
+    {"type": "synthesize", "text": "...", "id": "optional-id"}
+    {"type": "ping"}
+
+  server → client:
+    {"type": "started", "id": ..., "sample_rate": 24000}    (text/JSON)
+    <binary frames>  PCM16 little-endian mono audio chunks
+    {"type": "stopped", "id": ..., "chunks": N, "samples": M}
+    {"type": "error", "id": ..., "message": "..."}
+    {"type": "pong", "active": N}
+
+A client disconnect mid-stream closes the `submit()` generator, which marks
+the request cancelled; its batch slot frees at the next chunk boundary
+(same path `tests/test_continuous.py` covers for owner isolation).
+
+CLI:  python -m qwen_tts_tpu.serving.ws_server --port 8766 --slots 4 \
+          [--quantize int8|int4|mixed] [--kv-cache int8] [--max-seq 2048]
+Client helper: `synthesize_ws(uri, text)` (used by tests and the demo).
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+from typing import Optional
+
+import numpy as np
+
+from .shared import SharedBatcher
+
+logger = logging.getLogger(__name__)
+
+
+def _pcm16(audio: np.ndarray) -> bytes:
+    from ..runtime.native import f32_to_pcm16
+
+    return f32_to_pcm16(np.asarray(audio))
+
+
+class TTSWebSocketServer:
+    """Serve TTS over WebSocket; all connections share one batcher."""
+
+    def __init__(self, shared: SharedBatcher, host: str = "127.0.0.1",
+                 port: int = 8766):
+        self.shared = shared
+        self.host = host
+        self.port = port
+        self._server = None
+
+    async def handle(self, ws) -> None:
+        """One connection: sequential synthesize requests, streamed audio."""
+        counter = 0
+        async for message in ws:
+            if isinstance(message, bytes):
+                await ws.send(json.dumps(
+                    {"type": "error", "id": None,
+                     "message": "binary frames are not valid requests"}))
+                continue
+            try:
+                req = json.loads(message)
+            except json.JSONDecodeError:
+                await ws.send(json.dumps(
+                    {"type": "error", "id": None,
+                     "message": "request is not valid JSON"}))
+                continue
+
+            if req.get("type") == "ping":
+                batcher = self.shared.batcher
+                await ws.send(json.dumps(
+                    {"type": "pong",
+                     "active": batcher.active if batcher else 0}))
+                continue
+            if req.get("type") != "synthesize" or not req.get("text"):
+                await ws.send(json.dumps(
+                    {"type": "error", "id": req.get("id"),
+                     "message": 'expected {"type": "synthesize", '
+                                '"text": ...}'}))
+                continue
+
+            counter += 1
+            rid = req.get("id", f"req-{counter}")
+            try:
+                batcher = await self.shared.get()
+                await ws.send(json.dumps(
+                    {"type": "started", "id": rid,
+                     "sample_rate": batcher.eng.sample_rate}))
+                chunks = samples = 0
+                async for audio, _sr in batcher.submit(req["text"]):
+                    await ws.send(_pcm16(audio))
+                    chunks += 1
+                    samples += int(audio.shape[0])
+                await ws.send(json.dumps(
+                    {"type": "stopped", "id": rid,
+                     "chunks": chunks, "samples": samples}))
+            except Exception as e:  # noqa: BLE001 — keep the conn alive
+                logger.exception("synthesis failed for %s", rid)
+                try:
+                    await ws.send(json.dumps(
+                        {"type": "error", "id": rid,
+                         "message": f"{type(e).__name__}: {e}"}))
+                except Exception:   # send itself failed: connection gone
+                    return
+
+    async def start(self) -> None:
+        from websockets.asyncio.server import serve
+
+        self._server = await serve(self.handle, self.host, self.port,
+                                   max_size=None)
+        if self.port == 0:   # ephemeral: publish the bound port (tests)
+            self.port = self._server.sockets[0].getsockname()[1]
+        logger.info("TTS WebSocket server on ws://%s:%d", self.host,
+                    self.port)
+
+    async def stop(self) -> None:
+        if self._server is not None:
+            self._server.close()
+            await self._server.wait_closed()
+            self._server = None
+
+    async def serve_forever(self) -> None:
+        await self.start()
+        try:
+            await asyncio.get_running_loop().create_future()  # run until ^C
+        finally:
+            await self.stop()
+
+
+async def synthesize_ws(
+    uri: str, text: str, rid: Optional[str] = None,
+) -> tuple[np.ndarray, int, dict]:
+    """Client helper: one synthesize round-trip → (f32 audio, sr, stopped)."""
+    from websockets.asyncio.client import connect
+
+    async with connect(uri, max_size=None) as ws:
+        payload = {"type": "synthesize", "text": text}
+        if rid is not None:
+            payload["id"] = rid
+        await ws.send(json.dumps(payload))
+
+        started = json.loads(await ws.recv())
+        if started.get("type") == "error":
+            raise RuntimeError(started["message"])
+        assert started["type"] == "started", started
+        sr = started["sample_rate"]
+
+        pcm = bytearray()
+        while True:
+            msg = await ws.recv()
+            if isinstance(msg, bytes):
+                pcm.extend(msg)
+                continue
+            final = json.loads(msg)
+            if final.get("type") == "error":
+                raise RuntimeError(final["message"])
+            assert final["type"] == "stopped", final
+            break
+    audio = np.frombuffer(bytes(pcm), np.int16).astype(np.float32) / 32767.0
+    return audio, sr, final
+
+
+def main(argv: Optional[list[str]] = None) -> None:
+    from ..engine.tts_engine import TTSConfig
+
+    ap = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8766)
+    ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--chunk-frames", type=int, default=10)
+    ap.add_argument("--max-seq", type=int, default=2048)
+    ap.add_argument("--quantize", default=None,
+                    choices=["int8", "int4", "mixed"])
+    ap.add_argument("--kv-cache", default=None, choices=["int8"])
+    ap.add_argument("--cp-quantize", default=None,
+                    choices=["int8", "int4", "mixed"])
+    ap.add_argument("--no-warm", action="store_true",
+                    help="skip the slot-warming pass (first request "
+                         "then pays the compiles)")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    cfg = TTSConfig(max_seq_len=args.max_seq, warmup=False)
+    if args.quantize:
+        cfg.quantize = args.quantize
+    if args.kv_cache:
+        cfg.kv_cache = args.kv_cache
+    if args.cp_quantize:
+        cfg.cp_quantize = args.cp_quantize
+    shared = SharedBatcher(config=cfg, slots=args.slots,
+                           chunk_frames=args.chunk_frames,
+                           warm=not args.no_warm)
+    server = TTSWebSocketServer(shared, host=args.host, port=args.port)
+
+    async def run():
+        # build + warm BEFORE accepting connections so the first client
+        # never eats a multi-minute compile
+        await shared.get()
+        await server.serve_forever()
+
+    asyncio.run(run())
+
+
+if __name__ == "__main__":
+    main()

@@ -164,3 +164,43 @@ def test_run_tts_midstream_cancellation_engine_reusable():
     # engine state fully reset: frame counter reflects run 2 only
     m = service._engine.get_metrics()
     assert m["frames_generated"] > 0
+
+
+@pytest.mark.slow
+def test_continuous_service_shared_batcher_multi_client():
+    """TPUContinuousTTSService: two service instances SHARE one engine +
+    batcher (one TPU, many pipecat pipelines); concurrent run_tts calls
+    both complete the full frame protocol, batched onto slots rather than
+    serialized on two engines."""
+    from qwen_tts_tpu.core.config import tiny_test_config
+    from qwen_tts_tpu.engine.tts_engine import TTSConfig
+    import qwen_tts_tpu.serving.pipecat_tts as svc
+
+    cfg = TTSConfig(max_seq_len=256, vocoder_mode="random", seed=0,
+                    trailing_bucket=16)
+    s1 = svc.TPUContinuousTTSService(
+        config=cfg, sample_rate=24000, chunk_frames=4, slots=2,
+        model_config=tiny_test_config(max_seq_len=256))
+    s2 = svc.TPUContinuousTTSService(share=s1)
+    assert s2._shared is s1._shared
+
+    async def drive():
+        async def one(service, text):
+            return [f async for f in service.run_tts(text)]
+
+        return await asyncio.gather(
+            one(s1, "first concurrent client"),
+            one(s2, "the second client speaks at the same time"))
+
+    frames1, frames2 = asyncio.run(drive())
+    # one engine, one batcher behind both services
+    assert s1._shared.batcher is s2._shared.batcher
+    assert s1._shared.batcher is not None
+    for frames in (frames1, frames2):
+        assert isinstance(frames[0], svc.TTSStartedFrame)
+        assert isinstance(frames[-1], svc.TTSStoppedFrame)
+        assert not any(isinstance(f, svc.ErrorFrame) for f in frames)
+        audio = [f for f in frames if isinstance(f, svc.TTSAudioRawFrame)]
+        assert len(audio) >= 1
+        for f in audio:
+            assert f.sample_rate == 24000 and len(f.audio) % 2 == 0

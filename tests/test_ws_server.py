@@ -1,0 +1,179 @@
+"""Live WebSocket serving tests (serving/ws_server.py).
+
+Unlike the pipecat service (protocol stand-ins — pipecat-ai absent), this
+surface runs for REAL here: an actual `websockets` server on localhost,
+actual network clients, all sharing one `ContinuousBatcher`. Covers the
+wire protocol, concurrent clients batched onto slots, malformed requests,
+mid-stream disconnect (slot must free), and ping health checks.
+"""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+
+def _tiny_shared(slots: int = 2):
+    from qwen_tts_tpu.core.config import tiny_test_config
+    from qwen_tts_tpu.engine.tts_engine import TTSConfig
+    from qwen_tts_tpu.serving.shared import SharedBatcher
+
+    cfg = TTSConfig(max_seq_len=256, vocoder_mode="random", seed=0,
+                    trailing_bucket=16, chunk_frames=4, warmup=False)
+    return SharedBatcher(config=cfg, slots=slots, chunk_frames=4,
+                         model_config=tiny_test_config(max_seq_len=256),
+                         warm=False)
+
+
+def _server(shared=None, slots: int = 2):
+    from qwen_tts_tpu.serving.ws_server import TTSWebSocketServer
+
+    return TTSWebSocketServer(shared or _tiny_shared(slots), port=0)
+
+
+def test_protocol_errors_and_ping_without_engine():
+    """Malformed requests and pings are answered without ever building the
+    engine — the server is healthy before (and without) TPU init."""
+    from websockets.asyncio.client import connect
+
+    server = _server()
+
+    async def drive():
+        await server.start()
+        try:
+            uri = f"ws://{server.host}:{server.port}"
+            async with connect(uri) as ws:
+                await ws.send("this is not json")
+                err = json.loads(await ws.recv())
+                assert err["type"] == "error" and "JSON" in err["message"]
+
+                await ws.send(json.dumps({"type": "synthesize"}))  # no text
+                err = json.loads(await ws.recv())
+                assert err["type"] == "error"
+
+                await ws.send(b"\x00\x01")                 # binary request
+                err = json.loads(await ws.recv())
+                assert err["type"] == "error"
+
+                await ws.send(json.dumps({"type": "ping"}))
+                pong = json.loads(await ws.recv())
+                assert pong == {"type": "pong", "active": 0}
+        finally:
+            await server.stop()
+        assert server.shared.batcher is None   # never built
+
+    asyncio.run(drive())
+
+
+@pytest.mark.slow
+def test_concurrent_clients_share_one_batcher():
+    """Two real network clients synthesize concurrently; both complete the
+    full protocol and audio matches the stopped-frame accounting."""
+    from qwen_tts_tpu.serving.ws_server import synthesize_ws
+
+    server = _server(slots=2)
+
+    async def drive():
+        await server.start()
+        try:
+            uri = f"ws://{server.host}:{server.port}"
+            return await asyncio.gather(
+                synthesize_ws(uri, "first websocket client", rid="a"),
+                synthesize_ws(uri, "the second client at the same time",
+                              rid="b"))
+        finally:
+            await server.stop()
+
+    (a_audio, a_sr, a_fin), (b_audio, b_sr, b_fin) = asyncio.run(drive())
+    assert server.shared.batcher is not None           # built exactly once
+    for audio, sr, fin in ((a_audio, a_sr, a_fin), (b_audio, b_sr, b_fin)):
+        assert sr == 24000
+        assert fin["type"] == "stopped" and fin["chunks"] >= 1
+        assert audio.shape[0] == fin["samples"]
+        assert audio.dtype == np.float32 and audio.shape[0] > 0
+    assert a_fin["id"] == "a" and b_fin["id"] == "b"
+
+
+@pytest.mark.slow
+def test_midstream_disconnect_frees_slot_and_server_survives():
+    """A client that hangs up after the first audio chunk must not wedge
+    the server: its slot frees at the next chunk boundary and a subsequent
+    request on a fresh connection completes normally."""
+    from websockets.asyncio.client import connect
+    from qwen_tts_tpu.serving.ws_server import synthesize_ws
+
+    server = _server(slots=2)
+
+    async def drive():
+        await server.start()
+        try:
+            uri = f"ws://{server.host}:{server.port}"
+            async with connect(uri, max_size=None) as ws:
+                await ws.send(json.dumps(
+                    {"type": "synthesize", "id": "gone",
+                     "text": "a long utterance that the client abandons "
+                             "after hearing the very first audio chunk "
+                             "arrive over the websocket"}))
+                started = json.loads(await ws.recv())
+                assert started["type"] == "started"
+                msg = await ws.recv()
+                assert isinstance(msg, bytes) and len(msg) > 0
+                # hang up mid-stream (context exit closes the socket)
+
+            # a fresh connection must still be served to completion
+            audio, sr, fin = await synthesize_ws(
+                uri, "a fresh client after the disconnect", rid="after")
+            assert fin["chunks"] >= 1 and audio.shape[0] > 0
+
+            # the abandoned request's slot drains (cancel lands at the
+            # next chunk boundary; poll briefly for the loop to park)
+            batcher = server.shared.batcher
+            for _ in range(100):
+                if batcher.active == 0:
+                    break
+                await asyncio.sleep(0.05)
+            assert batcher.active == 0
+        finally:
+            await server.stop()
+
+    asyncio.run(drive())
+
+
+@pytest.mark.slow
+def test_sequential_requests_reuse_connection():
+    """One connection, two sequential synthesize requests — ids echo back
+    and audio accounting holds for both."""
+    from websockets.asyncio.client import connect
+
+    server = _server(slots=2)
+
+    async def one(ws, text, rid):
+        await ws.send(json.dumps(
+            {"type": "synthesize", "text": text, "id": rid}))
+        started = json.loads(await ws.recv())
+        assert started == {"type": "started", "id": rid,
+                           "sample_rate": 24000}
+        samples = 0
+        while True:
+            msg = await ws.recv()
+            if isinstance(msg, bytes):
+                samples += len(msg) // 2
+                continue
+            fin = json.loads(msg)
+            assert fin["type"] == "stopped" and fin["id"] == rid
+            assert fin["samples"] == samples
+            return samples
+
+    async def drive():
+        await server.start()
+        try:
+            uri = f"ws://{server.host}:{server.port}"
+            async with connect(uri, max_size=None) as ws:
+                s1 = await one(ws, "request number one", "r1")
+                s2 = await one(ws, "and request number two", "r2")
+                assert s1 > 0 and s2 > 0
+        finally:
+            await server.stop()
+
+    asyncio.run(drive())
