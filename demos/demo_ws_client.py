@@ -68,16 +68,83 @@ async def one_client(uri: str, text: str, idx: int):
     return audio, sr, secs, wall
 
 
+async def barge_in(uri: str, cancel_after: int = 2):
+    """Voice-agent interruption: synthesize a long utterance, cancel after
+    `cancel_after` audio chunks, then speak the reply on the same
+    connection. Prints cancel→terminal latency (how fast the agent shuts
+    up) and verifies the connection is immediately reusable."""
+    from websockets.asyncio.client import connect
+
+    long_text = ("This is a deliberately long agent reply that the user "
+                 "is going to talk over almost immediately, so the text "
+                 "to speech stream must stop at the very next chunk "
+                 "boundary instead of finishing the whole paragraph.")
+    async with connect(uri, max_size=None) as ws:
+        await ws.send(json.dumps(
+            {"type": "synthesize", "text": long_text, "id": "interrupted"}))
+        assert json.loads(await ws.recv())["type"] == "started"
+        chunks = 0
+        while chunks < cancel_after:
+            msg = await ws.recv()
+            if isinstance(msg, bytes):
+                chunks += 1
+        t_cancel = time.perf_counter()
+        await ws.send(json.dumps({"type": "cancel"}))
+        extra = 0
+        while True:
+            msg = await ws.recv()
+            if isinstance(msg, bytes):
+                extra += 1
+                continue
+            fin = json.loads(msg)
+            break
+        t_term = time.perf_counter() - t_cancel
+        assert fin["type"] == "cancelled", fin
+        print(f"barge-in: cancelled after {chunks} chunks heard "
+              f"(+{extra} in flight), cancel->terminal "
+              f"{t_term * 1e3:.1f} ms")
+
+        audio, sr, secs, wall = await _reuse(ws)
+        print(f"barge-in: reply on the same connection: {secs:.2f} s audio "
+              f"in {wall:.2f} s wall")
+
+
+async def _reuse(ws):
+    t0 = time.perf_counter()
+    await ws.send(json.dumps(
+        {"type": "synthesize", "text": "Sure, go ahead.", "id": "reply"}))
+    started = json.loads(await ws.recv())
+    assert started["type"] == "started", started
+    sr = started["sample_rate"]
+    pcm = bytearray()
+    while True:
+        msg = await ws.recv()
+        if isinstance(msg, bytes):
+            pcm.extend(msg)
+            continue
+        fin = json.loads(msg)
+        assert fin["type"] == "stopped", fin
+        break
+    audio = np.frombuffer(bytes(pcm), np.int16)
+    return audio, sr, audio.shape[0] / sr, time.perf_counter() - t0
+
+
 async def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8766)
     ap.add_argument("--clients", type=int, default=3)
+    ap.add_argument("--barge-in", action="store_true",
+                    help="demo mid-stream cancellation instead of "
+                         "concurrent clients")
     ap.add_argument("--save", action="store_true",
                     help="write ws_client_<i>.wav per client")
     args = ap.parse_args()
 
     uri = f"ws://{args.host}:{args.port}"
+    if args.barge_in:
+        await barge_in(uri)
+        return
     t0 = time.perf_counter()
     results = await asyncio.gather(*(
         one_client(uri, TEXTS[i % len(TEXTS)], i)

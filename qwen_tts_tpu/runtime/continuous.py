@@ -266,6 +266,11 @@ class ContinuousBatcher:
     def active(self) -> int:
         return sum(r is not None for r in self._reqs)
 
+    @property
+    def pending(self) -> int:
+        """Requests queued behind the slots (admission backlog)."""
+        return sum(not r.cancelled for r in self._pending)
+
     # ── scheduling loop ──────────────────────────────────────────────────
 
     async def _run(self):

@@ -8,25 +8,34 @@ where every connection submits into ONE shared `ContinuousBatcher`
 (runtime/continuous.py), so K concurrent clients cost one batched stream
 on the single-tenant TPU instead of K serialized engines.
 
-Wire protocol (one in-flight request per connection):
+Wire protocol (one in-flight request per connection; control frames are
+read CONCURRENTLY with streaming, so cancel/ping work mid-utterance):
 
   client → server (text frame, JSON):
     {"type": "synthesize", "text": "...", "id": "optional-id"}
+    {"type": "cancel"}           barge-in: stop the in-flight request
     {"type": "ping"}
 
   server → client:
     {"type": "started", "id": ..., "sample_rate": 24000}    (text/JSON)
     <binary frames>  PCM16 little-endian mono audio chunks
     {"type": "stopped", "id": ..., "chunks": N, "samples": M}
+    {"type": "cancelled", "id": ..., "chunks": N, "samples": M}
     {"type": "error", "id": ..., "message": "..."}
-    {"type": "pong", "active": N}
+    {"type": "pong", "active": N, "pending": M, "slots": B}
 
-A client disconnect mid-stream closes the `submit()` generator, which marks
-the request cancelled; its batch slot frees at the next chunk boundary
-(same path `tests/test_continuous.py` covers for owner isolation).
+`cancel` is the voice-agent barge-in path: the synthesis task is cancelled,
+the `submit()` generator closes, and the batch slot frees at the next chunk
+boundary (the reference gets this from pipecat's InterruptionFrame around
+its TTSService; here it is native to the live protocol). A client
+disconnect mid-stream takes the same path. `--max-pending N` bounds the
+admission backlog: when all slots are busy and N requests are already
+queued, new requests are refused with an error instead of growing the
+queue (backpressure for overload).
 
 CLI:  python -m qwen_tts_tpu.serving.ws_server --port 8766 --slots 4 \
-          [--quantize int8|int4|mixed] [--kv-cache int8] [--max-seq 2048]
+          [--quantize int8|int4|mixed] [--kv-cache int8] [--max-seq 2048] \
+          [--max-pending 8]
 Client helper: `synthesize_ws(uri, text)` (used by tests and the demo).
 """
 
@@ -55,65 +64,126 @@ class TTSWebSocketServer:
     """Serve TTS over WebSocket; all connections share one batcher."""
 
     def __init__(self, shared: SharedBatcher, host: str = "127.0.0.1",
-                 port: int = 8766):
+                 port: int = 8766, max_pending: Optional[int] = None):
         self.shared = shared
         self.host = host
         self.port = port
+        self.max_pending = max_pending
         self._server = None
 
-    async def handle(self, ws) -> None:
-        """One connection: sequential synthesize requests, streamed audio."""
-        counter = 0
-        async for message in ws:
-            if isinstance(message, bytes):
-                await ws.send(json.dumps(
-                    {"type": "error", "id": None,
-                     "message": "binary frames are not valid requests"}))
-                continue
-            try:
-                req = json.loads(message)
-            except json.JSONDecodeError:
-                await ws.send(json.dumps(
-                    {"type": "error", "id": None,
-                     "message": "request is not valid JSON"}))
-                continue
+    def _at_capacity(self) -> bool:
+        b = self.shared.batcher
+        return (self.max_pending is not None and b is not None
+                and b.active >= b.slots and b.pending >= self.max_pending)
 
-            if req.get("type") == "ping":
-                batcher = self.shared.batcher
-                await ws.send(json.dumps(
-                    {"type": "pong",
-                     "active": batcher.active if batcher else 0}))
-                continue
-            if req.get("type") != "synthesize" or not req.get("text"):
-                await ws.send(json.dumps(
-                    {"type": "error", "id": req.get("id"),
-                     "message": 'expected {"type": "synthesize", '
-                                '"text": ...}'}))
-                continue
-
-            counter += 1
-            rid = req.get("id", f"req-{counter}")
-            try:
-                batcher = await self.shared.get()
+    async def _synthesize(self, ws, send_lock, rid: str, text: str) -> None:
+        """Stream one utterance; runs as a task so the reader loop keeps
+        servicing cancel/ping. Terminal frame is `stopped`, or `cancelled`
+        on barge-in / disconnect."""
+        chunks = samples = 0
+        try:
+            batcher = await self.shared.get()
+            async with send_lock:
                 await ws.send(json.dumps(
                     {"type": "started", "id": rid,
                      "sample_rate": batcher.eng.sample_rate}))
-                chunks = samples = 0
-                async for audio, _sr in batcher.submit(req["text"]):
-                    await ws.send(_pcm16(audio))
-                    chunks += 1
-                    samples += int(audio.shape[0])
+            async for audio, _sr in batcher.submit(text):
+                pcm = _pcm16(audio)
+                async with send_lock:
+                    await ws.send(pcm)
+                chunks += 1
+                samples += int(audio.shape[0])
+            async with send_lock:
                 await ws.send(json.dumps(
                     {"type": "stopped", "id": rid,
                      "chunks": chunks, "samples": samples}))
-            except Exception as e:  # noqa: BLE001 — keep the conn alive
-                logger.exception("synthesis failed for %s", rid)
-                try:
+        except asyncio.CancelledError:
+            # barge-in: submit()'s finally marks the request cancelled; the
+            # slot frees at the next chunk boundary
+            try:
+                async with send_lock:
+                    await ws.send(json.dumps(
+                        {"type": "cancelled", "id": rid,
+                         "chunks": chunks, "samples": samples}))
+            except Exception:       # connection already gone
+                pass
+            raise
+        except Exception as e:  # noqa: BLE001 — keep the conn alive
+            logger.exception("synthesis failed for %s", rid)
+            try:
+                async with send_lock:
                     await ws.send(json.dumps(
                         {"type": "error", "id": rid,
                          "message": f"{type(e).__name__}: {e}"}))
-                except Exception:   # send itself failed: connection gone
-                    return
+            except Exception:       # send itself failed: connection gone
+                pass
+
+    async def handle(self, ws) -> None:
+        """One connection: a reader loop plus at most one in-flight
+        synthesis task, so control frames work mid-stream."""
+        counter = 0
+        send_lock = asyncio.Lock()
+        current: Optional[asyncio.Task] = None
+
+        async def error(rid, message):
+            async with send_lock:
+                await ws.send(json.dumps(
+                    {"type": "error", "id": rid, "message": message}))
+
+        try:
+            async for message in ws:
+                if isinstance(message, bytes):
+                    await error(None, "binary frames are not valid requests")
+                    continue
+                try:
+                    req = json.loads(message)
+                except json.JSONDecodeError:
+                    await error(None, "request is not valid JSON")
+                    continue
+                kind = req.get("type")
+
+                if kind == "ping":
+                    b = self.shared.batcher
+                    async with send_lock:
+                        await ws.send(json.dumps(
+                            {"type": "pong",
+                             "active": b.active if b else 0,
+                             "pending": b.pending if b else 0,
+                             "slots": b.slots if b else 0}))
+                elif kind == "cancel":
+                    if current is not None and not current.done():
+                        current.cancel()
+                        try:
+                            await current
+                        except asyncio.CancelledError:
+                            pass
+                    current = None
+                elif kind == "synthesize" and req.get("text"):
+                    if current is not None and not current.done():
+                        await error(req.get("id"),
+                                    "one in-flight request per connection "
+                                    '(send {"type": "cancel"} to barge in)')
+                        continue
+                    if self._at_capacity():
+                        await error(req.get("id"),
+                                    f"server at capacity (pending >= "
+                                    f"{self.max_pending}); retry later")
+                        continue
+                    counter += 1
+                    rid = req.get("id", f"req-{counter}")
+                    current = asyncio.create_task(
+                        self._synthesize(ws, send_lock, rid, req["text"]))
+                else:
+                    await error(req.get("id"),
+                                'expected {"type": "synthesize", "text": ...}'
+                                ' | "cancel" | "ping"')
+        finally:
+            if current is not None and not current.done():
+                current.cancel()       # disconnect mid-stream: free the slot
+                try:
+                    await current
+                except asyncio.CancelledError:
+                    pass
 
     async def start(self) -> None:
         from websockets.asyncio.server import serve
@@ -189,6 +259,9 @@ def main(argv: Optional[list[str]] = None) -> None:
     ap.add_argument("--no-warm", action="store_true",
                     help="skip the slot-warming pass (first request "
                          "then pays the compiles)")
+    ap.add_argument("--max-pending", type=int, default=None,
+                    help="refuse new requests when all slots are busy and "
+                         "this many are already queued (default: unbounded)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -202,7 +275,8 @@ def main(argv: Optional[list[str]] = None) -> None:
     shared = SharedBatcher(config=cfg, slots=args.slots,
                            chunk_frames=args.chunk_frames,
                            warm=not args.no_warm)
-    server = TTSWebSocketServer(shared, host=args.host, port=args.port)
+    server = TTSWebSocketServer(shared, host=args.host, port=args.port,
+                                max_pending=args.max_pending)
 
     async def run():
         # build + warm BEFORE accepting connections so the first client

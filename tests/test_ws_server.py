@@ -58,7 +58,13 @@ def test_protocol_errors_and_ping_without_engine():
 
                 await ws.send(json.dumps({"type": "ping"}))
                 pong = json.loads(await ws.recv())
-                assert pong == {"type": "pong", "active": 0}
+                assert pong == {"type": "pong", "active": 0,
+                                "pending": 0, "slots": 0}
+
+                await ws.send(json.dumps({"type": "cancel"}))  # no-op
+                await ws.send(json.dumps({"type": "ping"}))
+                pong = json.loads(await ws.recv())
+                assert pong["type"] == "pong"
         finally:
             await server.stop()
         assert server.shared.batcher is None   # never built
@@ -134,6 +140,173 @@ def test_midstream_disconnect_frees_slot_and_server_survives():
                     break
                 await asyncio.sleep(0.05)
             assert batcher.active == 0
+        finally:
+            await server.stop()
+
+    asyncio.run(drive())
+
+
+@pytest.mark.slow
+def test_cancel_barges_in_and_connection_stays_usable():
+    """Mid-stream {"type": "cancel"} (voice-agent barge-in) terminates the
+    stream with a `cancelled` frame, frees the slot, and the SAME
+    connection can immediately synthesize again."""
+    from websockets.asyncio.client import connect
+
+    server = _server(slots=2)
+
+    async def drive():
+        await server.start()
+        try:
+            uri = f"ws://{server.host}:{server.port}"
+            async with connect(uri, max_size=None) as ws:
+                await ws.send(json.dumps(
+                    {"type": "synthesize", "id": "barged",
+                     "text": "a long utterance that the user talks over "
+                             "after the very first chunk of audio so the "
+                             "agent must stop speaking immediately"}))
+                started = json.loads(await ws.recv())
+                assert started["type"] == "started"
+                first = await ws.recv()
+                assert isinstance(first, bytes) and len(first) > 0
+                await ws.send(json.dumps({"type": "cancel"}))
+                # drain until the terminal frame for the barged request:
+                # in-flight binary chunks may still be queued before it
+                seen_audio = 0
+                while True:
+                    msg = await ws.recv()
+                    if isinstance(msg, bytes):
+                        seen_audio += 1
+                        continue
+                    fin = json.loads(msg)
+                    break
+                assert fin["type"] == "cancelled" and fin["id"] == "barged"
+                # server-side accounting can trail the wire by at most the
+                # one send a cancellation interrupted
+                assert fin["chunks"] >= seen_audio
+
+                # same connection, next utterance completes normally
+                await ws.send(json.dumps(
+                    {"type": "synthesize", "id": "next",
+                     "text": "the reply after the interruption"}))
+                started = json.loads(await ws.recv())
+                assert started == {"type": "started", "id": "next",
+                                   "sample_rate": 24000}
+                samples = 0
+                while True:
+                    msg = await ws.recv()
+                    if isinstance(msg, bytes):
+                        samples += len(msg) // 2
+                        continue
+                    fin = json.loads(msg)
+                    break
+                assert fin["type"] == "stopped" and fin["id"] == "next"
+                assert fin["samples"] == samples > 0
+
+            # cancelled slot drains at the next chunk boundary
+            batcher = server.shared.batcher
+            for _ in range(100):
+                if batcher.active == 0:
+                    break
+                await asyncio.sleep(0.05)
+            assert batcher.active == 0
+        finally:
+            await server.stop()
+
+    asyncio.run(drive())
+
+
+@pytest.mark.slow
+def test_second_synthesize_while_streaming_is_refused():
+    """One in-flight request per connection: a second synthesize during a
+    stream gets an error naming the cancel escape hatch, and the original
+    stream still completes."""
+    from websockets.asyncio.client import connect
+
+    server = _server(slots=2)
+
+    async def drive():
+        await server.start()
+        try:
+            uri = f"ws://{server.host}:{server.port}"
+            async with connect(uri, max_size=None) as ws:
+                await ws.send(json.dumps(
+                    {"type": "synthesize", "id": "one",
+                     "text": "the first utterance is still streaming"}))
+                started = json.loads(await ws.recv())
+                assert started["type"] == "started"
+                await ws.send(json.dumps(
+                    {"type": "synthesize", "id": "two", "text": "too soon"}))
+                got_err = fin = None
+                while fin is None:
+                    msg = await ws.recv()
+                    if isinstance(msg, bytes):
+                        continue
+                    frame = json.loads(msg)
+                    if frame["type"] == "error":
+                        got_err = frame
+                    elif frame["type"] == "stopped":
+                        fin = frame
+                assert got_err is not None and got_err["id"] == "two"
+                assert "cancel" in got_err["message"]
+                assert fin["id"] == "one" and fin["chunks"] >= 1
+        finally:
+            await server.stop()
+
+    asyncio.run(drive())
+
+
+@pytest.mark.slow
+def test_backpressure_refuses_when_queue_full():
+    """With --max-pending 0 and every slot busy, a new request is refused
+    with a capacity error instead of queueing unboundedly."""
+    from websockets.asyncio.client import connect
+
+    shared = _tiny_shared(slots=1)
+    server = _server(shared=shared)
+    server.max_pending = 0
+
+    async def drive():
+        await server.start()
+        try:
+            uri = f"ws://{server.host}:{server.port}"
+            async with connect(uri, max_size=None) as w1, \
+                    connect(uri, max_size=None) as w2:
+                await w1.send(json.dumps(
+                    {"type": "synthesize", "id": "hog",
+                     "text": "a long enough utterance to hold the single "
+                             "batch slot while the second client arrives"}))
+                started = json.loads(await w1.recv())
+                assert started["type"] == "started"
+                first = await w1.recv()        # slot is definitely occupied
+                assert isinstance(first, bytes)
+
+                await w2.send(json.dumps(
+                    {"type": "synthesize", "id": "late", "text": "hello"}))
+                err = json.loads(await w2.recv())
+                assert err["type"] == "error" and err["id"] == "late"
+                assert "capacity" in err["message"]
+
+                # the hog still completes
+                while True:
+                    msg = await w1.recv()
+                    if isinstance(msg, bytes):
+                        continue
+                    fin = json.loads(msg)
+                    break
+                assert fin["type"] == "stopped" and fin["chunks"] >= 1
+
+                # capacity freed: the late client can now be served
+                await w2.send(json.dumps(
+                    {"type": "synthesize", "id": "retry", "text": "hello"}))
+                started = json.loads(await w2.recv())
+                assert started["type"] == "started"
+                while True:
+                    msg = await w2.recv()
+                    if isinstance(msg, bytes):
+                        continue
+                    assert json.loads(msg)["type"] == "stopped"
+                    break
         finally:
             await server.stop()
 
