@@ -26,6 +26,12 @@ def main():
     p.add_argument("--prompt-len", type=int, default=16)
     p.add_argument("--model-path", default=None)
     p.add_argument("--check-steps", type=int, default=20)
+    p.add_argument("--quantize", default="off",
+                   choices=["off", "int8", "int4", "mixed"],
+                   help="weight-only quantization (incl. the 311 MB head "
+                        "-> int8): the text LM is pure HBM-bandwidth-bound, "
+                        "so tok/s scales with weight bytes exactly like the "
+                        "talker tiers")
     args = p.parse_args()
 
     from qwen_tts_tpu.core.weights import init_decoder_weights
@@ -39,16 +45,31 @@ def main():
     else:
         w = init_decoder_weights(jax.random.PRNGKey(0), cfg)
         tok = None
+    if args.quantize != "off":
+        from qwen_tts_tpu.core.weights import (
+            quantize_decoder_weights,
+            quantize_decoder_weights_int4,
+            quantize_decoder_weights_mixed,
+        )
+
+        w = {"int8": quantize_decoder_weights,
+             "int4": quantize_decoder_weights_int4,
+             "mixed": quantize_decoder_weights_mixed}[args.quantize](w)
 
     lm = TextLM(w, cfg, tokenizer=tok, attn_impl="mega")
     prompt = list(range(1, args.prompt_len + 1))
 
-    # throughput (prefill + fused scan decode)
+    # throughput (prefill + fused scan decode); warm first — the cold call
+    # pays the jit compiles, which are not a per-token cost
+    t0 = time.perf_counter()
+    out = lm.generate(prompt, max_new_tokens=args.steps)
+    cold = time.perf_counter() - t0
     t0 = time.perf_counter()
     out = lm.generate(prompt, max_new_tokens=args.steps)
     dt = time.perf_counter() - t0
-    print(f"text LM: {args.steps / dt:.0f} tok/s end-to-end "
-          f"({dt / args.steps * 1000:.2f} ms/tok incl. prefill)")
+    print(f"text LM: {args.steps / dt:.0f} tok/s end-to-end warm "
+          f"({dt / args.steps * 1000:.2f} ms/tok incl. prefill; "
+          f"cold first call {cold:.1f} s)")
     print(f"first tokens: {out[:8]}")
 
     # golden check: megakernel vs oracle, greedy

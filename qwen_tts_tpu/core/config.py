@@ -29,6 +29,10 @@ def env_int(name: str, default: int) -> int:
 ATTN_CHUNK = env_int("ATTN_CHUNK", 256)          # cache-chunk DMA size
 PREFETCH_CHUNKS = env_int("PREFETCH_CHUNKS", 4)  # cross-step prefetched chunks
 VMEM_LIMIT_MB = env_int("VMEM_LIMIT_MB", 116)    # Mosaic VMEM budget
+# Fuse the LM head into the decode megakernel only while it fits VMEM
+# comfortably (talker/CP vocab 3072 -> 6 MB: fused; text-LM vocab 151936
+# -> 311 MB: computed as an XLA matvec in the same jit instead).
+HEAD_FUSE_LIMIT_MB = env_int("HEAD_FUSE_LIMIT_MB", 32)
 
 
 @dataclasses.dataclass(frozen=True)

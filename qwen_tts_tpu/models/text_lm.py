@@ -78,6 +78,25 @@ def load_text_lm_weights(
     return w, tokenizer
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+def _prefill_ids(cfg: DecoderConfig, w: DecoderWeights, ids: jax.Array,
+                 attn_impl: str = "dense"):
+    """Embed + fresh-state prefill + first greedy token, ONE dispatch.
+
+    `prefill`/`forward_chunk` are deliberately un-jitted building blocks
+    (the engine fuses them into its own closed-signature functions); called
+    bare they execute eagerly — hundreds of per-op tunnel round trips,
+    ~1.2 s measured (benchmarks/exp_lm_stream_timing.py). This wrapper is
+    the text-LM's single fused prefill boundary."""
+    from ..models.decoder import init_state, prefill
+
+    state = init_state(cfg)
+    return prefill(cfg, w, state, w.embed[ids], attn_impl=attn_impl)
+
+
 class TextLM:
     """Prompt-in, tokens-out text generation (reference: model.py:168-247)."""
 
@@ -92,15 +111,52 @@ class TextLM:
         """Greedy generation: batched prefill of the prompt, then a fused
         `lax.scan` decode (the generate_nosync equivalent,
         reference: model.py:209-247, kernel.cu:1555-1613)."""
-        from ..models.decoder import init_state, prefill
         from ..runtime.generate import generate_tokens
 
         ids = jnp.asarray(np.asarray(prompt_ids), dtype=jnp.int32)
-        embeds = self.w.embed[ids]
-        state = init_state(self.cfg)
-        state, first, _ = prefill(self.cfg, self.w, state, embeds,
-                                  attn_impl=self.attn_impl)
+        state, first, _ = _prefill_ids(self.cfg, self.w, ids,
+                                       attn_impl=self.attn_impl)
         state, tokens = generate_tokens(
             self.cfg, self.w, state, first, max_new_tokens - 1,
             attn_impl=self.attn_impl)
         return [int(first)] + [int(t) for t in np.asarray(tokens)]
+
+    def generate_stream(self, prompt_ids, max_new_tokens: int = 256,
+                        chunk: int = 32, stop_ids: tuple = ()):
+        """Greedy generation yielding `chunk`-token batches as they decode.
+
+        Each batch is ONE fused device dispatch (the same scan as
+        `generate`, jit-specialized once for the fixed chunk length), so
+        streaming costs one host round trip per `chunk` tokens instead of
+        per token. Stops early when a token in `stop_ids` appears (the
+        stop token is not yielded). Greedy determinism makes the streamed
+        sequence identical to `generate`'s, chunking-invariant.
+
+        This is the producer side of the on-chip agent loop
+        (demos/demo_local_agent.py): the consumer hands finished sentences
+        to the TTS engine while later chunks are still decoding.
+        """
+        ids = jnp.asarray(np.asarray(prompt_ids), dtype=jnp.int32)
+        state, first, _ = _prefill_ids(self.cfg, self.w, ids,
+                                       attn_impl=self.attn_impl)
+        tok = first
+        emitted = int(np.asarray(first))
+        if emitted in stop_ids:
+            return
+        yield [emitted]
+        produced = 1
+        from ..runtime.generate import generate_tokens
+
+        while produced < max_new_tokens:
+            n = min(chunk, max_new_tokens - produced)
+            state, tokens = generate_tokens(self.cfg, self.w, state, tok,
+                                            n, attn_impl=self.attn_impl)
+            tok = tokens[-1]
+            host = [int(t) for t in np.asarray(tokens)]
+            for i, t in enumerate(host):
+                if t in stop_ids:
+                    if i:
+                        yield host[:i]
+                    return
+            yield host
+            produced += n

@@ -31,7 +31,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.config import ATTN_CHUNK, DecoderConfig, PREFETCH_CHUNKS, VMEM_LIMIT_MB
+from ..core.config import (
+    ATTN_CHUNK,
+    DecoderConfig,
+    HEAD_FUSE_LIMIT_MB,
+    PREFETCH_CHUNKS,
+    VMEM_LIMIT_MB,
+)
 from ..core.weights import DecoderWeights
 from ..models.decoder import DecodeState
 
@@ -120,6 +126,7 @@ def _megakernel(
     chunk: int,
     prefetch_chunks: int,
     kv8: bool,
+    fuse_head: bool = True,
 ):
     if kv8:
         (k_hbm, v_hbm, ks_hbm, vs_hbm,
@@ -402,13 +409,17 @@ def _megakernel(
 
     # Final RMSNorm + fused LM head (kernel.cu:1276-1314, 1022-1185).
     # The head rides mm_scaled: bf16 (scale = ones) or int8 with one
-    # per-output-channel multiply on the f32 logits.
+    # per-output-channel multiply on the f32 logits. Heads too large for
+    # VMEM (text-LM vocab 151936 -> 311 MB) are NOT fused: fuse_head=False
+    # makes the caller compute logits as an XLA matvec in the same jit
+    # (lm_head_ref/logits_ref are tiny dummies then).
     @pl.when(li == L - 1)
     def _():
         nrm = rms(x, final_norm_ref[0][None, :])     # [1, H] f32
         normed_ref[:] = nrm
-        logits_ref[:] = mm_scaled(nrm.astype(jnp.bfloat16), lm_head_ref[:],
-                                  lms_ref[:])
+        if fuse_head:
+            logits_ref[:] = mm_scaled(nrm.astype(jnp.bfloat16),
+                                      lm_head_ref[:], lms_ref[:])
 
 
 def _const_spec(shape):
@@ -438,7 +449,7 @@ def check_attn_chunk(S: int, C: int) -> None:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk", "prefetch_chunks",
-                                             "interpret"))
+                                             "interpret", "fuse_head"))
 def megakernel_forward(
     cfg: DecoderConfig,
     w: DecoderWeights,
@@ -448,6 +459,7 @@ def megakernel_forward(
     prefetch_chunks: int = PREFETCH_CHUNKS,
     mrope_pos: jax.Array | None = None,   # [3] int32 (M-RoPE)
     interpret: bool = False,              # Pallas interpret mode (CPU tests)
+    fuse_head: bool | None = None,        # None: auto by head size
 ):
     """One fused decode step. Returns (new_state, logits [V] f32, normed [H] f32).
 
@@ -483,8 +495,15 @@ def megakernel_forward(
         sin = jax.lax.dynamic_slice_in_dim(w.rope.sin, pos, 1, axis=0)
 
     P = max(1, min(prefetch_chunks, -(-S // C)))
+    # Heads beyond the VMEM comfort budget are computed by XLA after the
+    # pallas_call (same jit, one dispatch) instead of being const-fetched.
+    if fuse_head is None:
+        head_bytes = H * V * jnp.dtype(w.lm_head.dtype).itemsize
+        fuse_head = head_bytes <= HEAD_FUSE_LIMIT_MB * 1024 * 1024
+    VD = V if fuse_head else 128     # dummy width when the head is outside
     kernel = functools.partial(_megakernel, cfg=cfg, chunk=C,
-                               prefetch_chunks=P, kv8=kv8)
+                               prefetch_chunks=P, kv8=kv8,
+                               fuse_head=fuse_head)
     lw = w.layers
     if hasattr(lw, "wqkv_q"):   # int8 / packed-int4 weight-only mode
         wqkv, wo_m, wgu, wd = lw.wqkv_q, lw.wo_q, lw.w_gate_up_q, lw.w_down_q
@@ -494,9 +513,13 @@ def megakernel_forward(
         ones = lambda out: jnp.ones((L, 1, out), jnp.float32)
         sqkv, so_s = ones(wqkv.shape[2]), ones(H)
         sgu, sd = ones(wgu.shape[2]), ones(H)
-    lms = getattr(w, "lm_head_s", None)
-    if lms is None:
-        lms = jnp.ones((1, V), jnp.float32)
+    lms = getattr(w, "lm_head_s", None)   # real head scale (int8 head)
+    if fuse_head:
+        head_op = w.lm_head
+        lms_op = jnp.ones((1, V), jnp.float32) if lms is None else lms
+    else:                                 # tiny dummies; head runs in XLA
+        head_op = jnp.zeros((H, VD), jnp.bfloat16)
+        lms_op = jnp.ones((1, VD), jnp.float32)
 
     cdt = state.k_cache.dtype
     outs_def = [
@@ -514,7 +537,7 @@ def megakernel_forward(
         ]
     outs_def += [
         (_const_spec((1, H)), jax.ShapeDtypeStruct((1, H), jnp.float32)),
-        (_const_spec((1, V)), jax.ShapeDtypeStruct((1, V), jnp.float32)),
+        (_const_spec((1, VD)), jax.ShapeDtypeStruct((1, VD), jnp.float32)),
     ]
 
     in_specs = [
@@ -532,8 +555,8 @@ def megakernel_forward(
             _layer_spec(sgu.shape),
             _layer_spec(sd.shape),
             _const_spec((1, H)),            # final_norm
-            _const_spec((H, V)),            # lm_head
-            _const_spec((1, V)),            # lm_head scale
+            _const_spec((H, VD)),           # lm_head (dummy if not fused)
+            _const_spec((1, VD)),           # lm_head scale
             _const_spec((1, H)),            # embed
             _const_spec((1, D // 2)),       # cos
             _const_spec((1, D // 2)),       # sin
@@ -546,7 +569,7 @@ def megakernel_forward(
         lw.q_norm[:, None, :], lw.k_norm[:, None, :],
         wo_m, lw.post_norm[:, None, :], wgu, wd,
         sqkv, so_s, sgu, sd,
-        w.final_norm[None, :], w.lm_head, lms,
+        w.final_norm[None, :], head_op, lms_op,
         embed.astype(jnp.float32)[None, :], cos, sin,
         state.k_cache, state.v_cache,
     ]
@@ -599,6 +622,16 @@ def megakernel_forward(
     else:
         k_new, v_new, normed, logits = outs
         ks_new = vs_new = None
+
+    if not fuse_head:
+        # Large-vocab head: one XLA matvec in the same jit — identical
+        # numerics to the fused path (bf16 inputs, f32 accumulation,
+        # per-output-channel dequant scale for an int8 head).
+        logits = jnp.dot(normed.astype(jnp.bfloat16),
+                         w.lm_head.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        if lms is not None:
+            logits = logits * lms
 
     k_cache = jax.lax.dynamic_update_slice(
         state.k_cache, k_new, (0, 0, pos, 0))

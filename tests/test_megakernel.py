@@ -245,3 +245,46 @@ def test_quant_prefill_matches_dequantized():
         assert int(s_q.position) == 8
 
 
+
+
+def test_unfused_head_bitwise_matches_fused(w):
+    """Large-vocab mode (fuse_head=False: head as an XLA matvec after the
+    pallas call) must produce the same logits/normed/caches as the fused
+    in-kernel head — the text-LM 151936-vocab head exceeds VMEM, so the
+    megakernel auto-selects this path (core/config.HEAD_FUSE_LIMIT_MB)."""
+    import qwen_tts_tpu.ops.decode_step as ds
+
+    embed = jax.random.normal(jax.random.PRNGKey(3), (CFG.hidden_size,),
+                              dtype=jnp.float32)
+    sf, lf, nf = ds.megakernel_forward.__wrapped__(
+        CFG, w, init_state(CFG), embed, chunk=64, interpret=True,
+        fuse_head=True)
+    su, lu, nu = ds.megakernel_forward.__wrapped__(
+        CFG, w, init_state(CFG), embed, chunk=64, interpret=True,
+        fuse_head=False)
+    np.testing.assert_array_equal(np.asarray(nf), np.asarray(nu))
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lu),
+                               rtol=0, atol=1e-5)
+    assert int(jnp.argmax(lf)) == int(jnp.argmax(lu))
+    np.testing.assert_array_equal(np.asarray(sf.k_cache),
+                                  np.asarray(su.k_cache))
+
+
+def test_unfused_head_int8_scale_applied(w):
+    """fuse_head=False with an int8 LM head applies the per-channel dequant
+    scale exactly like the fused mm_scaled path."""
+    import qwen_tts_tpu.ops.decode_step as ds
+    from qwen_tts_tpu.core.weights import quantize_decoder_weights
+
+    qw = quantize_decoder_weights(w)
+    embed = jax.random.normal(jax.random.PRNGKey(4), (CFG.hidden_size,),
+                              dtype=jnp.float32)
+    _, lf, _ = ds.megakernel_forward.__wrapped__(
+        CFG, qw, init_state(CFG), embed, chunk=64, interpret=True,
+        fuse_head=True)
+    _, lu, _ = ds.megakernel_forward.__wrapped__(
+        CFG, qw, init_state(CFG), embed, chunk=64, interpret=True,
+        fuse_head=False)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lu),
+                               rtol=0, atol=1e-4)
+    assert int(jnp.argmax(lf)) == int(jnp.argmax(lu))

@@ -39,3 +39,29 @@ def test_prompt_affects_output():
     a = lm.generate([1, 2, 3], max_new_tokens=6)
     b = lm.generate([9, 8, 7], max_new_tokens=6)
     assert a != b
+
+
+def test_generate_stream_matches_generate_any_chunking():
+    """Greedy streaming is chunking-invariant and identical to the
+    one-shot generate (same scan, same state threading)."""
+    w = init_decoder_weights(jax.random.PRNGKey(0), TINY_LM)
+    lm = TextLM(w, TINY_LM)
+    ref = lm.generate([1, 2, 3, 4], max_new_tokens=17)
+    for chunk in (1, 4, 5, 32):
+        streamed = [t for batch in lm.generate_stream(
+            [1, 2, 3, 4], max_new_tokens=17, chunk=chunk) for t in batch]
+        assert streamed == ref, chunk
+
+
+def test_generate_stream_stop_ids_truncate():
+    """A stop token ends the stream without being yielded."""
+    w = init_decoder_weights(jax.random.PRNGKey(0), TINY_LM)
+    lm = TextLM(w, TINY_LM)
+    ref = lm.generate([7, 7], max_new_tokens=12)
+    stop = ref[5]
+    streamed = [t for batch in lm.generate_stream(
+        [7, 7], max_new_tokens=12, chunk=3, stop_ids=(stop,))
+        for t in batch]
+    cut = ref.index(stop)
+    assert streamed == ref[:cut]
+    assert stop not in streamed
