@@ -90,13 +90,17 @@ def device_up_or_retry(budget: float) -> float | None:
     that regime: each fresh probe restarts init from scratch and never
     accumulates progress. So: ONE patient probe, polled in short slices,
     a `tunnel_probe_wait` evidence line each minute, patience sized to the
-    re-init envelope (8 min) independent of --budget — a late headline
+    re-init envelope independent of --budget — a late headline
     beats a null round; the budget gate only skips optional phases. A
     probe that EXITS (crash, not hang) is retried with backoff.
+
+    Patience history: 480 s (round 4) was exceeded once in round 5 — a
+    re-init stall after a long quantized-compile process resolved between
+    480 and ~780 s. 900 s covers that envelope with margin.
     """
     import subprocess
 
-    patience = 480.0
+    patience = 900.0
     code = ("import jax, jax.numpy as jnp, numpy as np;"
             "np.asarray(jnp.zeros((8,128))+1.0);print('UP')")
     last_note = 0.0
