@@ -15,9 +15,15 @@ line landed (BENCH_r02.json rc=124). So the default mode now:
      emits its line (valid headline on disk within one kernel compile,
      ~2 min); int4+kv8 follows as the explicit throughput-mode row,
   3. spends whatever remains of `--budget` on richer metrics (second tok/s
-     backend, engine TTFC/RTF), each emitted when measured,
-  4. re-emits the best tok/s line LAST so the driver's parsed headline is
-     always the throughput number regardless of which phases fit.
+     backend, engine TTFC/RTF), each emitted when measured. The budget
+     clock starts when the tunnel probe SUCCEEDS, not at process start —
+     round 4's driver capture carried only the headline because a ~305 s
+     tunnel-re-init wait was charged against the budget and starved every
+     optional phase,
+  4. re-emits the best tok/s line after EVERY later metric (and once more
+     LAST) so the driver's parsed line — the last one — is always the
+     headline no matter where a kill lands mid-phase
+     (tests/test_bench_resilience.py).
 
 Methodology matches the reference benchmarks:
 - TTFC = wall time from `synthesize_streaming(text)` to the first audio
@@ -47,18 +53,37 @@ import numpy as np
 
 T_START = time.perf_counter()
 
+# budget clock: starts at process start, RESET to the moment the tunnel
+# probe succeeds (round-4 driver capture carried exactly ONE metric because
+# a ~305 s probe wait was charged against --budget; the wait is tunnel
+# weather, not bench spending)
+B_START = T_START
+
+# once the headline tok/s is measured, every later emit() is followed by a
+# re-emit of the headline line, so the driver (which parses the LAST JSON
+# line) gets the headline even if it kills the bench mid-phase — round 4's
+# layout would have parsed `ttfc_ms` after a kill inside bench_engine
+_HEADLINE: list = []
+
 
 def elapsed() -> float:
     return time.perf_counter() - T_START
 
 
-def emit(metric, value, unit, vs_baseline):
+def budget_spent() -> float:
+    return time.perf_counter() - B_START
+
+
+def emit(metric, value, unit, vs_baseline, *, _reemit=True):
     print(json.dumps({
         "metric": metric,
         "value": round(value, 3 if value < 10 else 1),
         "unit": unit,
         "vs_baseline": round(vs_baseline, 3),
     }), flush=True)
+    if _reemit and _HEADLINE and metric != _HEADLINE[0][0]:
+        m, v = _HEADLINE[0]
+        emit(m, v, "tok/s", v / 1000.0, _reemit=False)
 
 
 def measure_rtt() -> float:
@@ -324,10 +349,12 @@ def main():
         return
 
     # ── full mode: cheap-but-valid first, richer after, headline LAST ──
+    global B_START
     rtt = device_up_or_retry(args.budget)
     if rtt is None:              # outage: leave evidence, not an rc=1
         emit("tunnel_down", -1.0, "attempts", 0.0)
         return
+    B_START = time.perf_counter()   # probe wait is weather, not spending
     emit("tunnel_rtt_ms", rtt, "ms", 1.0)
 
     headline = None
@@ -343,14 +370,16 @@ def main():
             ran.add(backend)
             print(f"tok bench {backend} failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
-    phase1 = elapsed()           # ≈ compile + runs of one backend
+    phase1 = budget_spent()      # ≈ compile + runs of one backend
+    if headline is not None:     # every later emit re-emits this line after
+        _HEADLINE[:] = [headline]
 
     # throughput-mode row: mixed+kv8 (int8 attn + int4 MLP) is the fastest
     # config — 2,034.5 tok/s r4, dominating int4+kv8 on speed AND fidelity
     # (cos .946 vs .825) — but still below the random-weights quality gate,
     # so it is reported as its own metric, never as the headline
     if (headline is not None and "megagen-mixed-kv8" not in ran
-            and elapsed() + phase1 < args.budget):
+            and budget_spent() + phase1 < args.budget):
         try:
             bench_tok_s(args, "megagen-mixed-kv8")
             ran.add("megagen-mixed-kv8")
@@ -359,7 +388,7 @@ def main():
                   f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
 
     # engine init compiles the fused cold/chunk paths (~3-4 min cold)
-    if elapsed() + 240.0 < args.budget:
+    if budget_spent() + 240.0 < args.budget:
         try:
             bench_engine(args)
         except Exception as e:
@@ -367,7 +396,8 @@ def main():
                   file=sys.stderr, flush=True)
 
     if headline is not None:     # the driver parses the LAST line
-        emit(headline[0], headline[1], "tok/s", headline[1] / 1000.0)
+        emit(headline[0], headline[1], "tok/s", headline[1] / 1000.0,
+             _reemit=False)
 
 
 if __name__ == "__main__":

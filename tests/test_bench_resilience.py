@@ -141,3 +141,91 @@ def test_full_mode_outage_exits_zero_with_evidence(monkeypatch, capsys):
     assert out, "outage must still leave evidence on stdout"
     last = json.loads(out[-1])
     assert last["metric"] == "tunnel_down"
+
+
+# ── round-5 driver-capture breadth (VERDICT r4 item 2) ─────────────────────
+
+
+def _run_full_mode(bench, monkeypatch, *, budget, probe_wait=0.0,
+                   phase_cost=60.0, engine_metrics=("ttfc_ms", "rtf_streaming"),
+                   engine_dies_after=None):
+    """Drive main() in full mode with faked phases on a faked clock.
+
+    Returns (stdout lines, calls dict). Every fake phase advances the fake
+    clock by `phase_cost` seconds; the probe advances it by `probe_wait`
+    before succeeding."""
+    t = {"now": 0.0}
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: t["now"])
+    calls = {"tok": [], "engine": False}
+
+    def fake_probe(budget):
+        t["now"] += probe_wait
+        return 10.0
+
+    def fake_tok(args, backend):
+        t["now"] += phase_cost
+        metric = "talker_decode_tok_s" + bench._SUFFIX.get(backend, "")
+        value = 1500.0 if "int8" in backend else 2000.0
+        bench.emit(metric, value, "tok/s", value / 1000.0)
+        calls["tok"].append(backend)
+        return metric, value
+
+    def fake_engine(args):
+        t["now"] += phase_cost
+        for i, m in enumerate(engine_metrics):
+            if engine_dies_after is not None and i == engine_dies_after:
+                raise KeyboardInterrupt  # a driver kill mid-phase
+            bench.emit(m, 42.0, "ms", 1.0)
+        calls["engine"] = True
+
+    monkeypatch.setattr(bench, "device_up_or_retry", fake_probe)
+    monkeypatch.setattr(bench, "bench_tok_s", fake_tok)
+    monkeypatch.setattr(bench, "bench_engine", fake_engine)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--budget", str(budget)])
+    try:
+        bench.main()
+    except KeyboardInterrupt:
+        pass
+    return calls
+
+
+def test_headline_reemitted_after_every_phase_metric(monkeypatch, capsys):
+    """After the headline is measured, every later metric line is followed
+    by a headline re-emit — a driver kill landing after ANY metric still
+    parses the headline as the last line."""
+    bench = _load_bench()
+    _run_full_mode(bench, monkeypatch, budget=10_000.0)
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l]
+    metrics = [l["metric"] for l in lines]
+    head = "talker_decode_tok_s_int8_weights_kv8"
+    assert metrics[-1] == head
+    first_head = metrics.index(head)
+    # breadth: ≥4 distinct metrics in one capture (headline, mixed, engine×2)
+    assert len(set(metrics)) >= 4
+    for i in range(first_head + 1, len(metrics)):
+        if metrics[i] != head:
+            assert metrics[i + 1] == head, (
+                f"metric {metrics[i]!r} not followed by a headline re-emit")
+
+
+def test_mid_phase_kill_still_parses_headline(monkeypatch, capsys):
+    """A kill mid-engine-phase (after ttfc_ms, before rtf) leaves the
+    headline as the last parseable line (round 4 would have left ttfc_ms)."""
+    bench = _load_bench()
+    _run_full_mode(bench, monkeypatch, budget=10_000.0, engine_dies_after=1)
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l]
+    assert lines[-1]["metric"] == "talker_decode_tok_s_int8_weights_kv8"
+    assert "ttfc_ms" in [l["metric"] for l in lines]
+
+
+def test_budget_clock_starts_at_tunnel_up(monkeypatch, capsys):
+    """A long tunnel-re-init probe wait must NOT starve the optional
+    phases: the budget clock starts when the probe succeeds (round 4's
+    ~305 s wait consumed the whole 300 s budget → one-metric capture)."""
+    bench = _load_bench()
+    calls = _run_full_mode(bench, monkeypatch, budget=450.0,
+                           probe_wait=400.0, phase_cost=60.0)
+    assert "megagen-mixed-kv8" in calls["tok"], \
+        "probe wait was charged against the budget (mixed row skipped)"
+    assert calls["engine"], \
+        "probe wait was charged against the budget (engine phase skipped)"
