@@ -47,6 +47,13 @@ def main():
     ap.add_argument("--quantize", default="off",
                     choices=["off", "int8", "int4", "mixed"])
     ap.add_argument("--kv-cache", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--vocoder", default="fast", choices=["fast", "code2wav"],
+                    help="code2wav = the real-architecture vocoder, fused "
+                         "per-slot into the chunk dispatch (left-context "
+                         "gapless decode, per-slot utterance-start flags)")
+    ap.add_argument("--admit-chunk", type=int, default=2,
+                    help="fast-admission chunk size in frames "
+                         "(0 disables: every dispatch is --chunk-frames)")
     ap.add_argument("--skip-static", action="store_true")
     args = ap.parse_args()
 
@@ -54,24 +61,29 @@ def main():
     from qwen_tts_tpu.runtime.continuous import ContinuousBatcher
 
     quant = False if args.quantize == "off" else args.quantize
-    # warmup=False: the batcher warms its OWN three signatures below; the
+    # warmup=False: the batcher warms its OWN signatures below; the
     # engine's single-stream warmup compiles (first_fn + chunk fn on the
     # dense path) are minutes of wasted init on the TPU for quantized tiers
     eng = TTSEngine(TTSConfig(max_seq_len=args.max_seq, backend="dense",
                               chunk_frames=args.chunk_frames,
                               quantize=quant, kv_cache=args.kv_cache,
+                              vocoder_backend=args.vocoder,
                               warmup=False))
     t0 = time.perf_counter()
     eng.initialize()
     print(f"engine init {time.perf_counter() - t0:.1f}s "
-          f"(quantize={args.quantize} kv={args.kv_cache})")
+          f"(quantize={args.quantize} kv={args.kv_cache} "
+          f"vocoder={args.vocoder})")
 
     texts = [TEXTS[i % len(TEXTS)] for i in range(args.requests)]
     batcher = ContinuousBatcher(eng, slots=args.slots,
-                                chunk_frames=args.chunk_frames)
+                                chunk_frames=args.chunk_frames,
+                                admit_chunk_frames=args.admit_chunk)
 
-    # warm the three signatures (admit / insert / chunk) + vocoder buckets
+    # warm every signature (admit / insert / chunk sizes × ctx shapes)
+    # + vocoder buckets
     t0 = time.perf_counter()
+    batcher.warm()
     batcher.serve(texts[: args.slots])
     print(f"warmup {time.perf_counter() - t0:.1f}s")
 

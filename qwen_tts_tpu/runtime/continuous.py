@@ -22,13 +22,19 @@ vmapped frame path (`runtime/batch.py`):
   construction as the engine's fused TTFC path) plus a donated
   `dynamic_update_index_in_dim` insert of its rows (KV cache, token,
   hidden, trailing text, rng) into a free slot,
+- the dispatch right after an admission uses a SMALL chunk
+  (`admit_chunk_frames`, default 2) so the fresh request's first audio is
+  a couple frames of compute away instead of a full steady chunk — the
+  batched analog of the engine's first-chunk-at-1-frame semantics
+  (reference: tts_engine.py:233-235),
 - a request leaves the moment its EOS lands (or its frame cap is hit);
   the slot is immediately re-admissible while the other slots keep
   streaming.
 
-XLA sees exactly three signatures (B=1 prefill, slot insert, B-slot
-chunk) regardless of traffic, so there is never a mid-serving compile —
-the same closed-signature contract the single-stream engine keeps
+XLA sees a fixed, warmed signature set (B=1 prefill, slot insert, chunk
+fns for the two chunk sizes — ×2 ctx shapes for code2wav) regardless of
+traffic, so there is never a mid-serving compile — the same
+closed-signature contract the single-stream engine keeps
 (docs/07-operations.md).
 
 Static shapes make the classic continuous-batching hazards explicit:
@@ -100,11 +106,20 @@ class ContinuousBatcher:
 
     def __init__(self, engine, slots: int = 4,
                  chunk_frames: Optional[int] = None,
-                 text_bucket: Optional[int] = None):
+                 text_bucket: Optional[int] = None,
+                 admit_chunk_frames: Optional[int] = 2):
         engine.initialize()
         self.eng = engine
         self.slots = slots
         self.chunk = chunk_frames or engine.config.chunk_frames
+        # fast-admission quantum: the dispatch right after an admission is
+        # this many frames instead of a full chunk, so a fresh request's
+        # first audio waits ~n_small frames of compute, not a whole chunk —
+        # the batched analog of the engine's first-chunk-at-1-frame
+        # (reference: tts_engine.py:233-235). Exactly one extra closed
+        # signature. 0/None disables.
+        small = admit_chunk_frames or 0
+        self.small = small if 0 < small < self.chunk else 0
         self.text_bucket = text_bucket or engine.config.trailing_bucket
         cfg = engine.model_config.talker
         self._cfg = cfg
@@ -126,6 +141,12 @@ class ContinuousBatcher:
         self._seq = 0                # chunk-dispatch sequence number
         self._pending: deque[_Request] = deque()
         self._task: Optional[asyncio.Task] = None
+        self._fresh = False          # an admission since the last dispatch
+        # per-slot "occupant already produced ≥1 chunk" — the code2wav
+        # left-context validity flag (a fresh occupant must not decode
+        # against the previous occupant's codes)
+        self._had_chunk = np.zeros(B, bool)
+        self._prev_codes = None      # device [B, n_prev, 16] of last dispatch
         # prebuilt parked rows: fresh zero state, empty text (tlen 0 feeds
         # the pad embedding every frame), position 0
         self._parked = (
@@ -193,42 +214,111 @@ class ContinuousBatcher:
 
     def _build_chunk_fn(self):
         """ONE jitted dispatch per chunk for ALL slots: vmapped frames +
-        per-slot vocoder, fused. The previous design read codes back and
-        ran `_decode_to_audio` per active slot — up to B extra host round
-        trips per chunk. The code2wav backend needs left-context chunk
-        decode (stateful across chunks), so it keeps the host path."""
+        per-slot vocoder, fused — for BOTH backends. The fast backend's
+        vocoder is stateless per chunk. code2wav needs left-context decode
+        (each chunk re-decodes against the previous chunk's codes for
+        gaplessness — engine semantics, modeling_qwen3_omni_moe.py:3752-62);
+        here the context is the previous DISPATCH's codes, device-resident,
+        with a per-slot `has_ctx` flag selecting the utterance-start form
+        for freshly admitted occupants (so a new occupant never decodes
+        against its predecessor's codes). The earlier design read codes
+        back and ran `_decode_to_audio` per active slot — up to B extra
+        host round trips per chunk for the real-architecture vocoder.
+
+        Signatures: one per chunk size n ∈ {small, chunk} for fast/none;
+        code2wav additionally keys on the PREVIOUS dispatch's size (the
+        ctx shape) — at most 4. All are compiled by `warm()`."""
         eng, mc = self.eng, self.eng.model_config
         cfg = eng.config
-        self._fused_audio = eng._voc_kind != "code2wav"
+        self._fused_audio = True
         voc = eng._voc_frames_decode
+        self._c2w = (eng._voc_kind == "code2wav"
+                     and eng.vocoder_weights is not None)
         has_vocoder = eng.vocoder_weights is not None
         hop = eng.vocoder_config.hop_length
         md = eng._mrope_deltas
-        chunk = self.chunk
+        self._groups = mc.num_code_groups
 
-        def fn(tw, cw, vw, pad, state, tok, hid, trailing, tlen, tidx0,
-               rngs):
-            state, codes, valid, tok, hid = batched_frames(
-                mc.talker, mc.code_predictor, tw, cw, state, tok, hid,
-                trailing, tlen, tidx0, pad, rngs, num_frames=chunk,
-                do_sample=cfg.subtalker_do_sample,
-                temperature=cfg.subtalker_temperature,
-                top_k=cfg.subtalker_top_k, mrope_deltas=md)
-            if self._fused_audio and has_vocoder:
-                audio = jax.vmap(lambda c: voc(vw, c))(codes)
+        def make(n: int, with_ctx: bool):
+            def fn(tw, cw, vw, pad, state, tok, hid, trailing, tlen, tidx0,
+                   rngs, ctx=None, has_ctx=None):
+                state, codes, valid, tok, hid = batched_frames(
+                    mc.talker, mc.code_predictor, tw, cw, state, tok, hid,
+                    trailing, tlen, tidx0, pad, rngs, num_frames=n,
+                    do_sample=cfg.subtalker_do_sample,
+                    temperature=cfg.subtalker_temperature,
+                    top_k=cfg.subtalker_top_k, mrope_deltas=md)
+                if with_ctx:
+                    # both forms are computed and selected per slot: the
+                    # utterance-start form only matters on a request's
+                    # first chunk, and the vocoder is a tiny fraction of
+                    # the chunk's compute at these shapes (docs/05 #15)
+                    wav_ctx = jax.vmap(
+                        lambda c, x: voc(vw, c, ctx=x))(codes, ctx)
+                    wav_first = jax.vmap(lambda c: voc(vw, c))(codes)
+                    audio = jnp.where(has_ctx[:, None], wav_ctx, wav_first)
+                elif has_vocoder and not self._c2w:
+                    audio = jax.vmap(lambda c: voc(vw, c))(codes)
+                else:
+                    audio = jnp.zeros((codes.shape[0], n * hop),
+                                      jnp.float32)
+                return state, codes, valid, tok, hid, audio
+
+            return jax.jit(fn, donate_argnames=("state",))
+
+        self._chunk_fns: dict = {}
+        self._make_chunk_fn = make
+
+    def _chunk_call(self, n: int):
+        """Dispatch one fused n-frame chunk for all slots; jit-cached per
+        (n, ctx-shape) signature."""
+        eng = self.eng
+        if self._c2w:
+            ctx = self._prev_codes
+            if ctx is None:
+                ctx = jnp.zeros((self.slots, self.chunk, self._groups),
+                                jnp.int32)
+                has_ctx = np.zeros(self.slots, bool)
             else:
-                audio = jnp.zeros((codes.shape[0], chunk * hop), jnp.float32)
-            return state, codes, valid, tok, hid, audio
+                has_ctx = self._had_chunk.copy()
+            key = (n, int(ctx.shape[1]))
+            fn = self._chunk_fns.get(key)
+            if fn is None:
+                fn = self._chunk_fns[key] = self._make_chunk_fn(n, True)
+            return fn(eng.weights.talker, eng.weights.code_predictor,
+                      eng.vocoder_weights, eng._tts_pad_embed,
+                      self._state, self._tok, self._hid, self._trail,
+                      self._tlen, self._tidx0, self._rngs, ctx, has_ctx)
+        fn = self._chunk_fns.get(n)
+        if fn is None:
+            fn = self._chunk_fns[n] = self._make_chunk_fn(n, False)
+        return fn(eng.weights.talker, eng.weights.code_predictor,
+                  eng.vocoder_weights, eng._tts_pad_embed,
+                  self._state, self._tok, self._hid, self._trail,
+                  self._tlen, self._tidx0, self._rngs)
 
-        jitted = jax.jit(fn, donate_argnames=("state",))
-
-        def call():
-            return jitted(eng.weights.talker, eng.weights.code_predictor,
-                          eng.vocoder_weights, eng._tts_pad_embed,
-                          self._state, self._tok, self._hid, self._trail,
-                          self._tlen, self._tidx0, self._rngs)
-
-        self._chunk_fn = call
+    def warm(self):
+        """Compile + run every chunk-fn signature against parked slots,
+        then re-park. Without this, live traffic would hit a mid-serving
+        compile the first time each (size, prev-size) pair occurs."""
+        sizes = [self.chunk] + ([self.small] if self.small else [])
+        for n in sizes:
+            if self._c2w:
+                for prev_n in sizes:
+                    self._prev_codes = jnp.zeros(
+                        (self.slots, prev_n, self._groups), jnp.int32)
+                    out = self._chunk_call(n)
+                    self._state = out[0]
+            else:
+                out = self._chunk_call(n)
+                self._state = out[0]
+        # discard warm-run mutations: fresh parked rows everywhere
+        # (_insert rewrites every batch tensor's row, including tok/hid)
+        for b in range(self.slots):
+            self._insert(b, self._parked)
+            self._pos[b] = 0
+        self._prev_codes = None
+        self._had_chunk[:] = False
 
     # ── public API ───────────────────────────────────────────────────────
 
@@ -283,9 +373,14 @@ class ContinuousBatcher:
         inflight = None
         while True:
             self._admit_pending()
-            new = self._dispatch() if self.active else None
+            # fast admission: the dispatch right after an admission is the
+            # small quantum, so the fresh request's first audio is ~small
+            # frames of compute away instead of a full chunk
+            n = self.small if (self._fresh and self.small) else self.chunk
+            self._fresh = False
+            new = self._dispatch(n) if self.active else None
             if inflight is not None:
-                self._collect(inflight)
+                await self._collect(inflight)
             inflight = new
             if inflight is None and not self._pending and not self.active:
                 return
@@ -310,6 +405,7 @@ class ContinuousBatcher:
                 return
             req = self._pending.popleft()
             self._admit(req, slot)
+            self._fresh = True
 
     def _admit(self, req: _Request, slot: int):
         eng = self.eng
@@ -329,6 +425,7 @@ class ContinuousBatcher:
         self._reqs[slot] = req
         req.first_seq = self._seq + 1   # present from the NEXT dispatch on
         self._pos[slot] = 9    # 8 prefill positions + the CODEC_BOS step
+        self._had_chunk[slot] = False   # no own codes yet: no vocoder ctx
 
     def _insert(self, slot: int, one):
         batch = (self._state, self._tok, self._hid, self._trail,
@@ -345,29 +442,37 @@ class ContinuousBatcher:
             self._insert(slot, self._parked)
             self._pos[slot] = 0
 
-    def _dispatch(self):
-        """Enqueue one fused chunk for all slots; results are device
-        futures — nothing is read back here. Host mirrors (positions,
-        trailing cursor, sequence number) advance at dispatch time so
-        admissions and repark decisions see the device's true state."""
+    def _dispatch(self, n: Optional[int] = None):
+        """Enqueue one fused n-frame chunk for all slots; results are
+        device futures — nothing is read back here. Host mirrors
+        (positions, trailing cursor, sequence number, ctx validity)
+        advance at dispatch time so admissions and repark decisions see
+        the device's true state."""
+        n = n or self.chunk
         (self._state, codes, valid, self._tok, self._hid,
-         audio) = self._chunk_fn()
-        self._tidx0 = self._tidx0 + self.chunk
+         audio) = self._chunk_call(n)
+        self._prev_codes = codes       # next dispatch's vocoder left ctx
+        self._had_chunk[:] = True
+        self._tidx0 = self._tidx0 + n
         for b in range(self.slots):
-            self._pos[b] += self.chunk
+            self._pos[b] += n
         self._seq += 1
-        return self._seq, codes, valid, audio
+        return self._seq, codes, valid, audio, n
 
-    def _collect(self, inflight):
-        """Read one dispatched chunk back and emit per-request audio."""
+    async def _collect(self, inflight):
+        """Read one dispatched chunk back and emit per-request audio.
+
+        The blocking device readback runs in a worker thread: it waits for
+        up to a full chunk of device compute, and doing that on the event
+        loop starves every other task — cancels (voice-agent barge-in),
+        pings, and queue consumers all stall behind it until the read
+        lands."""
         eng = self.eng
-        seq, codes, valid, audio = inflight
+        seq, codes, valid, audio, n = inflight
         hop = eng.vocoder_config.hop_length
-        if self._fused_audio:
-            valid_np, audio_np = jax.device_get((valid, audio))
-            codes_np = None
-        else:
-            codes_np, valid_np = jax.device_get((codes, valid))
+        loop = asyncio.get_running_loop()
+        valid_np, audio_np = await loop.run_in_executor(
+            None, jax.device_get, (valid, audio))
 
         for b in range(self.slots):
             req = self._reqs[b]
@@ -378,14 +483,10 @@ class ContinuousBatcher:
                 continue   # speculative chunk of this slot's PREVIOUS owner
             n_valid = int(valid_np[b].sum())
             take = min(n_valid, req.cap - req.emitted)
-            done = req.cancelled or n_valid < self.chunk \
+            done = req.cancelled or n_valid < n \
                 or req.emitted + take >= req.cap
             if take > 0 and not req.cancelled:
-                if self._fused_audio:
-                    wav = np.asarray(audio_np[b, : take * hop], np.float32)
-                else:
-                    frames = [codes_np[b, i] for i in range(take)]
-                    wav, _sr = eng._decode_to_audio(frames)
+                wav = np.asarray(audio_np[b, : take * hop], np.float32)
                 req.queue.put_nowait(wav)
                 req.emitted += take
             if done:

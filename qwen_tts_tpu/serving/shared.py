@@ -57,8 +57,10 @@ class SharedBatcher:
         batcher = ContinuousBatcher(engine, slots=self._slots,
                                     chunk_frames=self._chunk)
         if self._warm:
-            # compile the three closed signatures (admit / insert / chunk)
-            # + vocoder buckets before the first real caller arrives;
-            # serve() runs its own event loop — fine in an executor thread
+            # compile every closed signature (admit / insert / all chunk
+            # sizes × ctx shapes / vocoder buckets) before the first real
+            # caller arrives; serve() runs its own event loop — fine in an
+            # executor thread
+            batcher.warm()
             batcher.serve(["warm up the batch slots"] * self._slots)
         return batcher

@@ -25,10 +25,13 @@ read CONCURRENTLY with streaming, so cancel/ping work mid-utterance):
     {"type": "pong", "active": N, "pending": M, "slots": B}
 
 `cancel` is the voice-agent barge-in path: the synthesis task is cancelled,
-the `submit()` generator closes, and the batch slot frees at the next chunk
-boundary (the reference gets this from pipecat's InterruptionFrame around
-its TTSService; here it is native to the live protocol). A client
-disconnect mid-stream takes the same path. `--max-pending N` bounds the
+the `cancelled` terminal is sent IMMEDIATELY from the reader loop, and any
+late speculative chunks are discarded (flag-gated under the send lock)
+rather than drained — no audio frame for a stream ever follows its
+terminal. The batch slot frees at the next chunk boundary (the reference
+gets barge-in from pipecat's InterruptionFrame around its TTSService; here
+it is native to the live protocol). A client disconnect mid-stream takes
+the same cancellation path. `--max-pending N` bounds the
 admission backlog: when all slots are busy and N requests are already
 queued, new requests are refused with an error instead of growing the
 queue (backpressure for overload).
@@ -60,6 +63,22 @@ def _pcm16(audio: np.ndarray) -> bytes:
     return f32_to_pcm16(np.asarray(audio))
 
 
+class _Stream:
+    """Per-request wire state shared between the synthesis task and the
+    reader loop's barge-in path. `terminal_sent` is the single-writer gate
+    (always checked/set under the connection's send lock): after the
+    terminal frame goes out, no audio frame of this stream may follow —
+    late speculative chunks from the batcher are discarded, not sent."""
+
+    __slots__ = ("rid", "chunks", "samples", "terminal_sent")
+
+    def __init__(self, rid: str):
+        self.rid = rid
+        self.chunks = 0
+        self.samples = 0
+        self.terminal_sent = False
+
+
 class TTSWebSocketServer:
     """Serve TTS over WebSocket; all connections share one batcher."""
 
@@ -76,35 +95,40 @@ class TTSWebSocketServer:
         return (self.max_pending is not None and b is not None
                 and b.active >= b.slots and b.pending >= self.max_pending)
 
-    async def _synthesize(self, ws, send_lock, rid: str, text: str) -> None:
+    async def _synthesize(self, ws, send_lock, stream: "_Stream",
+                          text: str) -> None:
         """Stream one utterance; runs as a task so the reader loop keeps
         servicing cancel/ping. Terminal frame is `stopped`, or `cancelled`
-        on barge-in / disconnect."""
-        chunks = samples = 0
+        on barge-in / disconnect. Every send is gated on
+        `stream.terminal_sent` under the send lock: once ANY party (this
+        task or the reader's barge-in path) has sent the terminal, no
+        further frame of this stream reaches the wire — late speculative
+        chunks are discarded, not drained."""
+        rid = stream.rid
         try:
             batcher = await self.shared.get()
             async with send_lock:
+                if stream.terminal_sent:
+                    return
                 await ws.send(json.dumps(
                     {"type": "started", "id": rid,
                      "sample_rate": batcher.eng.sample_rate}))
             async for audio, _sr in batcher.submit(text):
                 pcm = _pcm16(audio)
                 async with send_lock:
+                    if stream.terminal_sent:
+                        return
                     await ws.send(pcm)
-                chunks += 1
-                samples += int(audio.shape[0])
-            async with send_lock:
-                await ws.send(json.dumps(
-                    {"type": "stopped", "id": rid,
-                     "chunks": chunks, "samples": samples}))
+                stream.chunks += 1
+                stream.samples += int(audio.shape[0])
+            await self._send_terminal(ws, send_lock, stream, "stopped")
         except asyncio.CancelledError:
-            # barge-in: submit()'s finally marks the request cancelled; the
-            # slot frees at the next chunk boundary
+            # barge-in or disconnect: submit()'s finally marks the request
+            # cancelled and the slot frees at the next chunk boundary. The
+            # reader's cancel path has usually already sent the terminal;
+            # _send_terminal dedups via the flag (disconnects land here).
             try:
-                async with send_lock:
-                    await ws.send(json.dumps(
-                        {"type": "cancelled", "id": rid,
-                         "chunks": chunks, "samples": samples}))
+                await self._send_terminal(ws, send_lock, stream, "cancelled")
             except Exception:       # connection already gone
                 pass
             raise
@@ -112,18 +136,32 @@ class TTSWebSocketServer:
             logger.exception("synthesis failed for %s", rid)
             try:
                 async with send_lock:
-                    await ws.send(json.dumps(
-                        {"type": "error", "id": rid,
-                         "message": f"{type(e).__name__}: {e}"}))
+                    if not stream.terminal_sent:
+                        stream.terminal_sent = True
+                        await ws.send(json.dumps(
+                            {"type": "error", "id": rid,
+                             "message": f"{type(e).__name__}: {e}"}))
             except Exception:       # send itself failed: connection gone
                 pass
+
+    @staticmethod
+    async def _send_terminal(ws, send_lock, stream: "_Stream",
+                             kind: str) -> None:
+        """Send the stream's terminal frame exactly once (flag-guarded)."""
+        async with send_lock:
+            if stream.terminal_sent:
+                return
+            stream.terminal_sent = True
+            await ws.send(json.dumps(
+                {"type": kind, "id": stream.rid,
+                 "chunks": stream.chunks, "samples": stream.samples}))
 
     async def handle(self, ws) -> None:
         """One connection: a reader loop plus at most one in-flight
         synthesis task, so control frames work mid-stream."""
         counter = 0
         send_lock = asyncio.Lock()
-        current: Optional[asyncio.Task] = None
+        current: Optional[tuple[asyncio.Task, _Stream]] = None
 
         async def error(rid, message):
             async with send_lock:
@@ -151,15 +189,19 @@ class TTSWebSocketServer:
                              "pending": b.pending if b else 0,
                              "slots": b.slots if b else 0}))
                 elif kind == "cancel":
-                    if current is not None and not current.done():
-                        current.cancel()
-                        try:
-                            await current
-                        except asyncio.CancelledError:
-                            pass
+                    if current is not None and not current[0].done():
+                        task, stream = current
+                        task.cancel()
+                        # Barge-in latency IS the product metric for a
+                        # voice agent: send the terminal NOW and let the
+                        # flag discard late speculative chunks, instead of
+                        # awaiting the task (which drained in-flight
+                        # chunks — 273.5 ms live in round-5 session 4).
+                        await self._send_terminal(
+                            ws, send_lock, stream, "cancelled")
                     current = None
                 elif kind == "synthesize" and req.get("text"):
-                    if current is not None and not current.done():
+                    if current is not None and not current[0].done():
                         await error(req.get("id"),
                                     "one in-flight request per connection "
                                     '(send {"type": "cancel"} to barge in)')
@@ -171,17 +213,19 @@ class TTSWebSocketServer:
                         continue
                     counter += 1
                     rid = req.get("id", f"req-{counter}")
-                    current = asyncio.create_task(
-                        self._synthesize(ws, send_lock, rid, req["text"]))
+                    stream = _Stream(rid)
+                    current = (asyncio.create_task(
+                        self._synthesize(ws, send_lock, stream,
+                                         req["text"])), stream)
                 else:
                     await error(req.get("id"),
                                 'expected {"type": "synthesize", "text": ...}'
                                 ' | "cancel" | "ping"')
         finally:
-            if current is not None and not current.done():
-                current.cancel()       # disconnect mid-stream: free the slot
+            if current is not None and not current[0].done():
+                current[0].cancel()    # disconnect mid-stream: free the slot
                 try:
-                    await current
+                    await current[0]
                 except asyncio.CancelledError:
                     pass
 
@@ -278,10 +322,18 @@ def main(argv: Optional[list[str]] = None) -> None:
     server = TTSWebSocketServer(shared, host=args.host, port=args.port,
                                 max_pending=args.max_pending)
 
+    import time
+    t0 = time.perf_counter()
+
     async def run():
         # build + warm BEFORE accepting connections so the first client
         # never eats a multi-minute compile
         await shared.get()
+        # cold→ready is THE operational number for a serving restart
+        # (quantized tiers compile for minutes; docs/07 cold-start table)
+        logger.info("cold->ready %.1f s (quantize=%s kv=%s slots=%d)",
+                    time.perf_counter() - t0, args.quantize, args.kv_cache,
+                    args.slots)
         await server.serve_forever()
 
     asyncio.run(run())

@@ -141,13 +141,13 @@ def test_speculation_budget_and_owner_isolation(eng):
     audio is identical to a solo run."""
     b = ContinuousBatcher(eng, slots=1, chunk_frames=4)
     calls = {"n": 0}
-    orig = b._chunk_fn
+    orig = b._chunk_call
 
-    def counting():
+    def counting(n):
         calls["n"] += 1
-        return orig()
+        return orig(n)
 
-    b._chunk_fn = counting
+    b._chunk_call = counting
     (wav, _), = b.serve(["hi"])
     hop = eng.vocoder_config.hop_length
     n_chunks = -(-len(wav) // (hop * b.chunk))
@@ -175,3 +175,165 @@ def test_repark_before_ring_boundary(eng):
     b.serve(texts)
     limit = b._cfg.max_seq_len
     assert all(p + 2 * b.chunk + 16 < limit + b.chunk for p in b._pos)
+
+
+# ── round-5: fast admission + fused code2wav (VERDICT r4 items 1 & 3) ──────
+
+
+def test_fast_admission_first_chunk_is_small(eng):
+    """The dispatch right after an admission is `admit_chunk_frames`
+    frames: a fresh request's FIRST audio chunk is small (low latency),
+    later chunks are full-size — the batched first-chunk-at-1-frame."""
+    b = ContinuousBatcher(eng, slots=2, chunk_frames=4, admit_chunk_frames=2)
+    hop = eng.vocoder_config.hop_length
+
+    async def one():
+        sizes = []
+        async for a, _sr in b.submit("a long enough utterance to stream "
+                                     "several chunks of audio frames"):
+            sizes.append(len(a) // hop)
+        return sizes
+
+    sizes = asyncio.run(one())
+    assert sizes[0] == 2, f"first chunk {sizes[0]} frames, want 2"
+    assert max(sizes) == 4, "steady chunks must be full-size"
+    assert sum(sizes) > 2
+
+
+def test_fast_admission_disabled(eng):
+    """admit_chunk_frames=0 restores single-size dispatching."""
+    b = ContinuousBatcher(eng, slots=1, chunk_frames=4, admit_chunk_frames=0)
+    hop = eng.vocoder_config.hop_length
+
+    async def one():
+        sizes = []
+        async for a, _sr in b.submit("hello with no fast admission path"):
+            sizes.append(len(a) // hop)
+        return sizes
+
+    sizes = asyncio.run(one())
+    assert sizes[0] == 4
+
+
+def test_fast_admission_mid_stream_other_slots_unaffected(eng):
+    """A small chunk dispatched for a late arrival also advances the
+    already-streaming slot by the small amount; totals still line up and
+    both requests complete with finite audio."""
+    b = ContinuousBatcher(eng, slots=2, chunk_frames=4, admit_chunk_frames=2)
+
+    async def staggered():
+        first_parts, second_parts = [], []
+
+        async def first():
+            async for a, _ in b.submit("the first long utterance keeps "
+                                       "going while a new caller arrives"):
+                first_parts.append(a)
+
+        async def second():
+            await asyncio.sleep(0.05)    # arrive mid-stream of first
+            async for a, _ in b.submit("late arrival"):
+                second_parts.append(a)
+
+        await asyncio.gather(first(), second())
+        return first_parts, second_parts
+
+    f, s = asyncio.run(staggered())
+    assert f and s
+    assert np.isfinite(np.concatenate(f)).all()
+    assert np.isfinite(np.concatenate(s)).all()
+
+
+def _c2w_engine():
+    from qwen_tts_tpu.vocoder.code2wav import Code2WavConfig
+
+    # tiny code2wav so the conv stack compiles fast on CPU
+    c2c = Code2WavConfig(hidden_size=64, num_attention_heads=4,
+                         num_key_value_heads=2, intermediate_size=128,
+                         num_hidden_layers=2, decoder_dim=64,
+                         codebook_size=64, num_quantizers=16)
+    return make_engine(vocoder_backend="code2wav", code2wav_config=c2c,
+                       code2wav_impl="reference")
+
+
+def test_code2wav_fused_matches_host_decode():
+    """The fused per-slot code2wav audio (one dispatch per chunk for all
+    slots) must equal the engine's host-side left-context chunk decode on
+    the same codes: first chunk via the utterance-start form, later
+    chunks decoded against the previous chunk's codes (gapless)."""
+    eng = _c2w_engine()
+    b = ContinuousBatcher(eng, slots=1, chunk_frames=4, admit_chunk_frames=2)
+    recorded = []
+    orig = b._chunk_call
+
+    def recording(n):
+        out = orig(n)
+        recorded.append((n, out[1]))      # (chunk size, codes [B, n, 16])
+        return out
+
+    b._chunk_call = recording
+    (wav, _sr), = b.serve(["fused vocoder parity check text"])
+    hop = eng.vocoder_config.hop_length
+
+    # host reference decode over the recorded per-dispatch codes, engine
+    # left-context semantics (tts_engine._load_code2wav frames_decode)
+    parts, prev = [], None
+    produced = 0
+    want_frames = len(wav) // hop
+    for n, codes in recorded:
+        if produced >= want_frames:
+            break                          # speculative drain chunk
+        c = np.asarray(codes[0])
+        take = min(n, want_frames - produced)
+        full = np.asarray(eng._voc_ctx_jit(eng.vocoder_weights,
+                                           c, prev)
+                          if prev is not None else
+                          eng._voc_frames_decode(eng.vocoder_weights, c))
+        parts.append(full[: take * hop])
+        produced += take
+        prev = c
+    host = np.concatenate(parts)[: len(wav)]
+    np.testing.assert_allclose(wav, host, atol=2e-4, rtol=1e-3)
+
+
+def test_code2wav_second_occupant_never_sees_predecessors_ctx():
+    """A request admitted into a just-freed slot must decode its first
+    chunk with the utterance-start form, NOT against the previous
+    occupant's codes — its audio equals a solo run on a fresh batcher
+    with the same rng state."""
+    eng2 = _c2w_engine()
+    b2 = ContinuousBatcher(eng2, slots=1, chunk_frames=4,
+                           admit_chunk_frames=2)
+    served = b2.serve(["first occupant speaks", "second occupant text"])
+
+    eng3 = _c2w_engine()
+    eng3._rng, _ = jax.random.split(eng3._rng)  # consume occupant 1's split
+    b3 = ContinuousBatcher(eng3, slots=1, chunk_frames=4,
+                           admit_chunk_frames=2)
+    solo = b3.serve(["second occupant text"])
+    np.testing.assert_array_equal(served[1][0], solo[0][0])
+
+
+def test_warm_compiles_all_signatures_then_serves_clean(eng):
+    """warm() pre-compiles every (chunk size × ctx shape) signature and
+    re-parks; traffic afterwards compiles nothing new."""
+    b = ContinuousBatcher(eng, slots=2, chunk_frames=4, admit_chunk_frames=2)
+    b.warm()
+    b.serve(["after warm, admission-path signatures"])  # admit/insert warm
+
+    compiled = []
+    orig = jax.config.jax_log_compiles
+    jax.config.update("jax_log_compiles", True)
+    import logging
+
+    class Grab(logging.Handler):
+        def emit(self, record):
+            compiled.append(record.getMessage())
+
+    h = Grab()
+    logging.getLogger("jax._src.interpreters.pxla").addHandler(h)
+    try:
+        b.serve(["clean traffic one", "and a second staggered text"])
+    finally:
+        logging.getLogger("jax._src.interpreters.pxla").removeHandler(h)
+        jax.config.update("jax_log_compiles", orig)
+    assert not compiled, f"mid-serving compiles after warm(): {compiled}"

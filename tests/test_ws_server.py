@@ -169,9 +169,12 @@ def test_cancel_barges_in_and_connection_stays_usable():
                 assert started["type"] == "started"
                 first = await ws.recv()
                 assert isinstance(first, bytes) and len(first) > 0
+                import time
+                t_cancel = time.perf_counter()
                 await ws.send(json.dumps({"type": "cancel"}))
-                # drain until the terminal frame for the barged request:
-                # in-flight binary chunks may still be queued before it
+                # the terminal is sent IMMEDIATELY by the reader loop —
+                # at most frames already on the wire precede it, and
+                # NOTHING of the barged stream may follow it
                 seen_audio = 0
                 while True:
                     msg = await ws.recv()
@@ -180,16 +183,27 @@ def test_cancel_barges_in_and_connection_stays_usable():
                         continue
                     fin = json.loads(msg)
                     break
+                cancel_to_terminal = time.perf_counter() - t_cancel
                 assert fin["type"] == "cancelled" and fin["id"] == "barged"
                 # server-side accounting can trail the wire by at most the
                 # one send a cancellation interrupted
                 assert fin["chunks"] >= seen_audio
+                # immediate-terminal contract: no in-flight-chunk drain
+                # (tiny CPU model: a drain regression shows up as multiple
+                # chunk walls; generous bound for CI jitter)
+                assert cancel_to_terminal < 2.0
 
-                # same connection, next utterance completes normally
+                # same connection, next utterance completes normally; the
+                # FIRST frame after the terminal must be its `started`
+                # JSON — any binary frame here would be a late speculative
+                # chunk of the cancelled stream leaking past its terminal
                 await ws.send(json.dumps(
                     {"type": "synthesize", "id": "next",
                      "text": "the reply after the interruption"}))
-                started = json.loads(await ws.recv())
+                nxt = await ws.recv()
+                assert not isinstance(nxt, bytes), \
+                    "audio frame leaked after the cancelled terminal"
+                started = json.loads(nxt)
                 assert started == {"type": "started", "id": "next",
                                    "sample_rate": 24000}
                 samples = 0
