@@ -196,12 +196,20 @@ def main():
                                       "outlier-rows,realistic")
     p.add_argument("--backends", default="int8,int4")
     p.add_argument("--max-seq", type=int, default=512)
+    p.add_argument("--incoherent", action="store_true",
+                   help="fold QuaRot-style incoherence rotations "
+                        "(core/incoherence.py) into the weights before "
+                        "quantizing — the bf16 oracle runs the SAME "
+                        "transformed weights (function-identical), so the "
+                        "gate isolates what the rotation buys the "
+                        "quantizer")
     args = p.parse_args()
 
     from qwen_tts_tpu.core.config import DecoderConfig
     from qwen_tts_tpu.core.weights import (
         quantize_decoder_weights,
         quantize_decoder_weights_int4,
+        quantize_decoder_weights_mixed,
     )
 
     cfg = DecoderConfig(max_seq_len=args.max_seq)
@@ -209,12 +217,26 @@ def main():
     for dist in args.dists.split(","):
         t0 = time.time()
         w = make_weights(dist, args.seed, cfg)
+        tag = ""
+        if args.incoherent:
+            from qwen_tts_tpu.core.incoherence import (
+                incoherent_decoder_weights,
+            )
+
+            w = incoherent_decoder_weights(
+                w, jax.random.PRNGKey(args.seed + 31), cfg)
+            tag = "+inc"
         for backend in args.backends.split(","):
-            qw = (quantize_decoder_weights_int4(w, group_size=args.group)
-                  if backend == "int4" else quantize_decoder_weights(w))
+            quantizer = {
+                "int8": quantize_decoder_weights,
+                "int4": functools.partial(quantize_decoder_weights_int4,
+                                          group_size=args.group),
+                "mixed": quantize_decoder_weights_mixed,
+            }[backend]
+            qw = quantizer(w)
             lo, lq = run_pair(cfg, w, qw, jnp.int8, args.steps)
-            results.append(analyze(f"{dist}/{backend}+kv8", lo, lq))
-        print(f"# {dist}: {time.time() - t0:.0f}s", file=sys.stderr)
+            results.append(analyze(f"{dist}/{backend}+kv8{tag}", lo, lq))
+        print(f"# {dist}{tag}: {time.time() - t0:.0f}s", file=sys.stderr)
 
     # where does int4 cross the tolerated tier (≥95% agreement)?
     for r in results:
