@@ -32,6 +32,10 @@ def main():
                         "-> int8): the text LM is pure HBM-bandwidth-bound, "
                         "so tok/s scales with weight bytes exactly like the "
                         "talker tiers")
+    p.add_argument("--kv-cache", default="bf16", choices=["bf16", "int8"],
+                   help="int8 KV cache: halves the position-proportional "
+                        "cache-read bytes (same machinery as the talker's "
+                        "kv8 serve path)")
     args = p.parse_args()
 
     from qwen_tts_tpu.core.weights import init_decoder_weights
@@ -56,7 +60,8 @@ def main():
              "int4": quantize_decoder_weights_int4,
              "mixed": quantize_decoder_weights_mixed}[args.quantize](w)
 
-    lm = TextLM(w, cfg, tokenizer=tok, attn_impl="mega")
+    lm = TextLM(w, cfg, tokenizer=tok, attn_impl="mega",
+                kv_cache=args.kv_cache)
     prompt = list(range(1, args.prompt_len + 1))
 
     # throughput (prefill + fused scan decode); warm first — the cold call
@@ -69,11 +74,13 @@ def main():
     dt = time.perf_counter() - t0
     print(f"text LM: {args.steps / dt:.0f} tok/s end-to-end warm "
           f"({dt / args.steps * 1000:.2f} ms/tok incl. prefill; "
-          f"cold first call {cold:.1f} s)")
+          f"cold first call {cold:.1f} s; quantize={args.quantize} "
+          f"kv={args.kv_cache})")
     print(f"first tokens: {out[:8]}")
 
-    # golden check: megakernel vs oracle, greedy
-    state_o, state_m = init_state(cfg), init_state(cfg)
+    # golden check: megakernel (at the benched kv dtype) vs bf16-KV oracle
+    state_o = init_state(cfg)
+    state_m = init_state(cfg, lm.kv_dtype)
     ids = jnp.asarray(prompt, dtype=jnp.int32)
     state_o, tok_o, _ = prefill(cfg, w, state_o, w.embed[ids])
     state_m, tok_m, _ = prefill(cfg, w, state_m, w.embed[ids], attn_impl="mega")

@@ -81,9 +81,9 @@ def load_text_lm_weights(
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl", "kv_dtype"))
 def _prefill_ids(cfg: DecoderConfig, w: DecoderWeights, ids: jax.Array,
-                 attn_impl: str = "dense"):
+                 attn_impl: str = "dense", kv_dtype=jnp.bfloat16):
     """Embed + fresh-state prefill + first greedy token, ONE dispatch.
 
     `prefill`/`forward_chunk` are deliberately un-jitted building blocks
@@ -93,19 +93,26 @@ def _prefill_ids(cfg: DecoderConfig, w: DecoderWeights, ids: jax.Array,
     the text-LM's single fused prefill boundary."""
     from ..models.decoder import init_state, prefill
 
-    state = init_state(cfg)
+    state = init_state(cfg, kv_dtype)
     return prefill(cfg, w, state, w.embed[ids], attn_impl=attn_impl)
 
 
 class TextLM:
-    """Prompt-in, tokens-out text generation (reference: model.py:168-247)."""
+    """Prompt-in, tokens-out text generation (reference: model.py:168-247).
+
+    `kv_cache="int8"` stores the KV cache per-row-quantized (the same
+    int8-KV machinery as the talker serve path) — cache reads are the
+    position-proportional term of the per-token bytes, so the win grows
+    with context length."""
 
     def __init__(self, weights: DecoderWeights, cfg: DecoderConfig = TEXT_LM_CONFIG,
-                 tokenizer=None, attn_impl: str = "dense"):
+                 tokenizer=None, attn_impl: str = "dense",
+                 kv_cache: str = "bf16"):
         self.cfg = cfg
         self.w = weights
         self.tokenizer = tokenizer
         self.attn_impl = attn_impl
+        self.kv_dtype = jnp.int8 if kv_cache == "int8" else jnp.bfloat16
 
     def generate(self, prompt_ids, max_new_tokens: int = 64) -> list[int]:
         """Greedy generation: batched prefill of the prompt, then a fused
@@ -115,7 +122,8 @@ class TextLM:
 
         ids = jnp.asarray(np.asarray(prompt_ids), dtype=jnp.int32)
         state, first, _ = _prefill_ids(self.cfg, self.w, ids,
-                                       attn_impl=self.attn_impl)
+                                       attn_impl=self.attn_impl,
+                                       kv_dtype=self.kv_dtype)
         state, tokens = generate_tokens(
             self.cfg, self.w, state, first, max_new_tokens - 1,
             attn_impl=self.attn_impl)
@@ -138,7 +146,8 @@ class TextLM:
         """
         ids = jnp.asarray(np.asarray(prompt_ids), dtype=jnp.int32)
         state, first, _ = _prefill_ids(self.cfg, self.w, ids,
-                                       attn_impl=self.attn_impl)
+                                       attn_impl=self.attn_impl,
+                                       kv_dtype=self.kv_dtype)
         tok = first
         emitted = int(np.asarray(first))
         if emitted in stop_ids:

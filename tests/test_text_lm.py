@@ -65,3 +65,21 @@ def test_generate_stream_stop_ids_truncate():
     cut = ref.index(stop)
     assert streamed == ref[:cut]
     assert stop not in streamed
+
+
+def test_kv8_cache_generates_close_to_bf16():
+    """int8 KV cache: same API, near-identical greedy stream on the tiny
+    model (per-row scales bound the cache quantization error)."""
+    w = init_decoder_weights(jax.random.PRNGKey(0), TINY_LM)
+    lm = TextLM(w, TINY_LM)
+    lm8 = TextLM(w, TINY_LM, kv_cache="int8")
+    assert lm8.kv_dtype == jnp.int8
+    out = lm.generate([1, 2, 3], max_new_tokens=16)
+    out8 = lm8.generate([1, 2, 3], max_new_tokens=16)
+    # tiny random weights leave near-tie argmaxes that cascade once flipped
+    # (the trajectory-luck effect, CLAUDE.md round-4 session 3), so assert
+    # the PREFIX agrees before any cascade, not the whole trajectory
+    assert out[:4] == out8[:4], (out, out8)
+    assert all(0 <= t < TINY_LM.vocab_size for t in out8)
+    # determinism of the kv8 path itself
+    assert out8 == lm8.generate([1, 2, 3], max_new_tokens=16)
