@@ -141,6 +141,7 @@ class ContinuousBatcher:
         self._seq = 0                # chunk-dispatch sequence number
         self._pending: deque[_Request] = deque()
         self._task: Optional[asyncio.Task] = None
+        self._failure: Optional[BaseException] = None
         self._fresh = False          # an admission since the last dispatch
         # per-slot "occupant already produced ≥1 chunk" — the code2wav
         # left-context validity flag (a fresh occupant must not decode
@@ -329,11 +330,15 @@ class ContinuousBatcher:
         req = _Request(text=text, cap=self._frame_cap(text))
         self._pending.append(req)
         if self._task is None or self._task.done():
+            self._failure = None   # a fresh loop clears a stale failure
             self._task = asyncio.get_running_loop().create_task(self._run())
         try:
             while True:
                 audio = await req.queue.get()
                 if audio is None:
+                    if self._failure is not None and req.emitted == 0:
+                        raise RuntimeError(
+                            "batch dispatch loop failed") from self._failure
                     return
                 yield audio, self.eng.sample_rate
         finally:
@@ -370,21 +375,33 @@ class ContinuousBatcher:
         finishing in chunk k decodes one speculative chunk before its slot
         frees — the same ≤1-chunk speculation budget as the single-stream
         engine's streaming pipeline."""
-        inflight = None
-        while True:
-            self._admit_pending()
-            # fast admission: the dispatch right after an admission is the
-            # small quantum, so the fresh request's first audio is ~small
-            # frames of compute away instead of a full chunk
-            n = self.small if (self._fresh and self.small) else self.chunk
-            self._fresh = False
-            new = self._dispatch(n) if self.active else None
-            if inflight is not None:
-                await self._collect(inflight)
-            inflight = new
-            if inflight is None and not self._pending and not self.active:
-                return
-            await asyncio.sleep(0)
+        try:
+            inflight = None
+            while True:
+                self._admit_pending()
+                # fast admission: the dispatch right after an admission is
+                # the small quantum, so the fresh request's first audio is
+                # ~small frames of compute away instead of a full chunk
+                n = self.small if (self._fresh and self.small) else self.chunk
+                self._fresh = False
+                new = self._dispatch(n) if self.active else None
+                if inflight is not None:
+                    await self._collect(inflight)
+                inflight = new
+                if (inflight is None and not self._pending
+                        and not self.active):
+                    return
+                await asyncio.sleep(0)
+        except BaseException as e:
+            # a dead dispatch loop must not strand consumers on their
+            # queues forever: record the failure, wake every waiter
+            self._failure = e
+            for req in list(self._reqs) + list(self._pending):
+                if req is not None:
+                    req.queue.put_nowait(None)
+            self._reqs = [None] * self.slots
+            self._pending.clear()
+            raise
 
     def _frame_cap(self, text: str) -> int:
         # same duration heuristic as synthesize_batch: ~2.5 words/s of

@@ -337,3 +337,29 @@ def test_warm_compiles_all_signatures_then_serves_clean(eng):
         logging.getLogger("jax._src.interpreters.pxla").removeHandler(h)
         jax.config.update("jax_log_compiles", orig)
     assert not compiled, f"mid-serving compiles after warm(): {compiled}"
+
+
+def test_dispatch_loop_failure_propagates_to_waiters(eng):
+    """If the dispatch loop dies (device fault, kernel bug), every waiting
+    submit() is woken and the first-audio waiter gets the error instead of
+    hanging forever; the batcher recovers on the next request."""
+    b = ContinuousBatcher(eng, slots=1)
+    boom = RuntimeError("simulated device fault")
+    orig = b._chunk_call
+
+    def exploding(n):
+        raise boom
+
+    b._chunk_call = exploding
+
+    async def drive():
+        with pytest.raises(RuntimeError) as ei:
+            async for _a, _sr in b.submit("this request hits the fault"):
+                pass
+        assert ei.value.__cause__ is boom
+        # loop restarted clean on the next request
+        b._chunk_call = orig
+        return [a async for a, _ in b.submit("recovery request")]
+
+    parts = asyncio.run(drive())
+    assert parts and b.active == 0
