@@ -55,6 +55,10 @@ def main():
                     help="fast-admission chunk size in frames "
                          "(0 disables: every dispatch is --chunk-frames)")
     ap.add_argument("--skip-static", action="store_true")
+    ap.add_argument("--sweep", action="store_true",
+                    help="after the main pass, re-run sparse-arrival and "
+                         "admit-off traffic through the SAME warm batcher "
+                         "(isolates admission latency from slot wait)")
     args = ap.parse_args()
 
     from qwen_tts_tpu.engine.tts_engine import TTSConfig, TTSEngine
@@ -87,35 +91,51 @@ def main():
     batcher.serve(texts[: args.slots])
     print(f"warmup {time.perf_counter() - t0:.1f}s")
 
-    async def staggered():
-        t_start = time.perf_counter()
-        stats = []
+    def staggered_pass(label, arrival_ms, n_requests):
+        async def staggered():
+            t_start = time.perf_counter()
+            stats = []
 
-        async def one(i, text):
-            await asyncio.sleep(i * args.arrival_ms / 1000.0)
-            t_arr = time.perf_counter()
-            first, samples = None, 0
-            async for audio, _sr in batcher.submit(text):
-                if first is None:
-                    first = time.perf_counter() - t_arr
-                samples += len(audio)
-            stats.append((first, samples))
+            async def one(i, text):
+                await asyncio.sleep(i * arrival_ms / 1000.0)
+                t_arr = time.perf_counter()
+                first, samples = None, 0
+                async for audio, _sr in batcher.submit(text):
+                    if first is None:
+                        first = time.perf_counter() - t_arr
+                    samples += len(audio)
+                stats.append((first, samples))
 
-        await asyncio.gather(*[one(i, t) for i, t in enumerate(texts)])
-        return time.perf_counter() - t_start, stats
+            reqs = [TEXTS[i % len(TEXTS)] for i in range(n_requests)]
+            await asyncio.gather(*[one(i, t) for i, t in enumerate(reqs)])
+            return time.perf_counter() - t_start, stats
 
-    wall, stats = asyncio.run(staggered())
-    firsts = sorted(s[0] for s in stats if s[0] is not None)
-    total_audio = sum(s[1] for s in stats) / eng.sample_rate
-    frames = total_audio * eng.model_config.frame_rate_hz
-    print(f"continuous: {args.requests} reqs / {args.slots} slots, "
-          f"arrivals every {args.arrival_ms:.0f} ms")
-    print(f"  wall {wall:.2f}s for {total_audio:.1f}s audio "
-          f"-> {total_audio / wall:.1f}x real-time aggregate "
-          f"({frames / wall:.1f} frames/s)")
-    print(f"  first-audio latency p50 {firsts[len(firsts) // 2] * 1000:.0f} ms"
-          f"  p95 {firsts[int(len(firsts) * 0.95)] * 1000:.0f} ms"
-          f"  max {firsts[-1] * 1000:.0f} ms")
+        wall, stats = asyncio.run(staggered())
+        firsts = sorted(s[0] for s in stats if s[0] is not None)
+        total_audio = sum(s[1] for s in stats) / eng.sample_rate
+        frames = total_audio * eng.model_config.frame_rate_hz
+        print(f"continuous [{label}]: {n_requests} reqs / {args.slots} "
+              f"slots, arrivals every {arrival_ms:.0f} ms")
+        print(f"  wall {wall:.2f}s for {total_audio:.1f}s audio "
+              f"-> {total_audio / wall:.1f}x real-time aggregate "
+              f"({frames / wall:.1f} frames/s)")
+        print(f"  first-audio latency p50 "
+              f"{firsts[len(firsts) // 2] * 1000:.0f} ms"
+              f"  p95 {firsts[int(len(firsts) * 0.95)] * 1000:.0f} ms"
+              f"  max {firsts[-1] * 1000:.0f} ms", flush=True)
+
+    staggered_pass("main", args.arrival_ms, args.requests)
+
+    if args.sweep:
+        # sparse arrivals isolate the ADMISSION path (slots always free);
+        # the admit-off rows quantify what the small first chunk buys.
+        # All rows share one warm engine/batcher — b.small is a host-side
+        # knob, both chunk sizes are already compiled.
+        staggered_pass("sparse+fast-admit", 1500.0, args.slots)
+        batcher.small = 0
+        staggered_pass("sparse+admit-off", 1500.0, args.slots)
+        staggered_pass("load+admit-off", args.arrival_ms, args.requests)
+        batcher.small = args.admit_chunk if 0 < args.admit_chunk else 0
 
     if args.skip_static:
         return
