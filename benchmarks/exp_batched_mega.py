@@ -42,7 +42,14 @@ def main():
                          "one readback — amortizes the tunnel RTT)")
     ap.add_argument("--max-seq", type=int, default=2048)
     ap.add_argument("--impls", default="dense,mega")
+    ap.add_argument("--scaling", action="store_true",
+                    help="dense-path scaling diagnostic: sweep (B, S) in "
+                         "one process to attribute the chunk wall to "
+                         "weight reads (flat in B), per-slot activations "
+                         "(linear in B), or cache copies (linear in S)")
     args = ap.parse_args()
+    if args.scaling:
+        return scaling_diagnostic(args)
 
     from qwen_tts_tpu.core.config import TTSModelConfig
     from qwen_tts_tpu.core.weights import init_tts_weights
@@ -69,18 +76,31 @@ def main():
     for impl in args.impls.split(","):
         import functools
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def chunk(st, tok, hid, tidx0):
+        # weights/trailing/rngs are jit ARGUMENTS — closed-over big arrays
+        # become XLA constants, which wedges compilation on this platform
+        # (CLAUDE.md conventions; self-inflicted relay broken-pipe here
+        # before this fix)
+        @functools.partial(jax.jit, donate_argnums=(0,),
+                           static_argnames=("impl",))
+        def chunk(st, tok, hid, tw, cw, trail_a, tlen_a, pad_a, rngs_a,
+                  tidx0, impl="dense"):
             def one(s, t, h, trail, tl, ti, key):
                 return frames_chunk(
-                    mc.talker, mc.code_predictor, w.talker,
-                    w.code_predictor, s, t, h, trail, tl, ti, pad, key,
+                    mc.talker, mc.code_predictor, tw, cw,
+                    s, t, h, trail, tl, ti, pad_a, key,
                     num_frames=N, do_sample=True, attn_impl=impl)
 
             st, codes, valid, tok, hid = jax.vmap(one)(
-                st, tok, hid, trailing, tlen,
-                jnp.full((B,), tidx0, jnp.int32), rngs)
+                st, tok, hid, trail_a, tlen_a,
+                jnp.full((B,), tidx0, jnp.int32), rngs_a)
             return st, codes, valid, tok, hid
+
+        chunk = functools.partial(
+            chunk, tw=w.talker, cw=w.code_predictor, trail_a=trailing,
+            tlen_a=tlen, pad_a=pad, rngs_a=rngs, impl=impl)
+
+        def chunk(st, tok, hid, tidx0, _c=chunk):
+            return _c(st, tok, hid, tidx0=tidx0)
 
         try:
             st, tok, hid = batched_prefill(mc.talker, w.talker, prefill_e)
@@ -106,6 +126,73 @@ def main():
                   flush=True)
         except Exception as e:  # noqa: BLE001 — record lowering failures
             print(f"{impl}: FAILED {type(e).__name__}: {e}", flush=True)
+
+
+def scaling_diagnostic(args):
+    """Time the vmapped dense chunk at several (B, max_seq) points.
+
+    Reading the slopes: the bandwidth floor per frame is ~3.2 GB of weight
+    reads (874 MB talker + 15 CP steps x ~156 MB), shared across slots —
+    if ms/chunk is flat in B the path is weight-bound (batching ~free); a
+    linear-in-B term is per-slot activation/sampling work; a linear-in-S
+    term is full-cache traffic (reads or scan-carry copies)."""
+    import dataclasses
+    import functools
+
+    from qwen_tts_tpu.core.config import TTSModelConfig
+    from qwen_tts_tpu.core.weights import init_tts_weights
+    from qwen_tts_tpu.runtime.batch import batched_prefill
+    from qwen_tts_tpu.runtime.frame_loop import frames_chunk
+
+    N = args.frames
+    for B, S in [(1, 1024), (2, 1024), (8, 1024), (8, 256)]:
+        mc = TTSModelConfig()
+        mc = dataclasses.replace(
+            mc, talker=dataclasses.replace(mc.talker, max_seq_len=S))
+        w = init_tts_weights(jax.random.PRNGKey(0), mc)
+        H = mc.talker.hidden_size
+        prefill_e = jax.random.normal(jax.random.PRNGKey(1), (B, 8, H),
+                                      dtype=jnp.bfloat16)
+        trailing = jax.random.normal(jax.random.PRNGKey(2), (B, 16, H),
+                                     dtype=jnp.bfloat16)
+        tlen = jnp.full((B,), 16, jnp.int32)
+        pad = jnp.zeros((H,), jnp.bfloat16)
+        rngs = jax.random.split(jax.random.PRNGKey(3), B)
+
+        # weights etc. as jit ARGUMENTS (closure constants wedge compiles)
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def chunk_impl(st, tok, hid, tw, cw, trail_a, tlen_a, pad_a,
+                       rngs_a, tidx0, mc=mc, B=B):
+            def one(s, t, h, trail, tl, ti, key):
+                return frames_chunk(
+                    mc.talker, mc.code_predictor, tw, cw,
+                    s, t, h, trail, tl, ti, pad_a, key,
+                    num_frames=N, do_sample=True, attn_impl="dense")
+
+            return jax.vmap(one)(st, tok, hid, trail_a, tlen_a,
+                                 jnp.full((B,), tidx0, jnp.int32), rngs_a)
+
+        def chunk(st, tok, hid, tidx0, _w=w, _t=trailing, _tl=tlen,
+                  _p=pad, _r=rngs):
+            return chunk_impl(st, tok, hid, _w.talker, _w.code_predictor,
+                              _t, _tl, _p, _r, tidx0)
+
+        try:
+            st, tok, hid = batched_prefill(mc.talker, w.talker, prefill_e)
+            st, codes, valid, tok, hid = chunk(st, tok, hid, 0)
+            np.asarray(tok)                       # compile + first run
+            t0 = time.perf_counter()
+            for k in range(args.chunks):
+                st, codes, valid, tok, hid = chunk(st, tok, hid,
+                                                   (1 + k) * N)
+            np.asarray(tok)
+            dt = time.perf_counter() - t0
+            print(f"B={B} S={S}: {dt / args.chunks * 1000:.1f} ms/chunk "
+                  f"({dt / (args.chunks * N) * 1000:.2f} ms/frame)",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"B={B} S={S}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
 
 
 if __name__ == "__main__":
