@@ -321,14 +321,16 @@ def main():
                    help="engine weight quantization tier (serving path)")
     p.add_argument("--kv8", action="store_true",
                    help="engine int8 KV cache (serving path)")
-    p.add_argument("--budget", type=float, default=300.0,
-                   help="soft wall-clock budget (s) for the full mode; "
-                        "optional phases are skipped when the remaining "
-                        "budget can't cover their cost estimate. The "
-                        "default keeps a bare `python bench.py` to ~3 min "
-                        "(headline + RTT only) — the driver's timeout is "
-                        "unknown and round 2 was killed at rc=124; richer "
-                        "runs: --budget 900 or --mode engine")
+    p.add_argument("--budget", type=float, default=540.0,
+                   help="soft wall-clock budget (s) for the full mode, "
+                        "counted from tunnel-up; optional phases are "
+                        "skipped when the remaining budget can't cover "
+                        "their cost estimate. 540 fits headline + mixed + "
+                        "engine (TTFC/RTF) in ~9 min after the probe — "
+                        "safe now that the headline is re-emitted after "
+                        "every metric, so even a driver kill mid-phase "
+                        "still parses the headline (round 2's rc=124 "
+                        "hazard). Richer runs: --budget 900")
     p.add_argument("--backend", default="megagen-int8-kv8",
                    choices=["megagen", "megagen-int8", "megagen-int4",
                             "megagen-mixed", "megagen-int8-kv8",
